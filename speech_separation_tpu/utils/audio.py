@@ -1,0 +1,60 @@
+"""Host-side audio I/O.
+
+Replaces the reference's librosa.core.load / scipy wav writing
+(reference: steps/extract_feats.py:74, steps/reconstruct_sources.py:41-42)
+with a dependency-light loader built on scipy.io.wavfile:
+
+- integer PCM is normalized to float32 the way librosa does it
+  (int16 / 32768, int32 / 2**31, uint8 -> [-1, 1)), so features are
+  numerically identical to the reference pipeline's.
+- resampling (only needed when a file's rate differs from the target,
+  which never happens for the 8 kHz "min" mixture corpora) uses
+  polyphase filtering.
+- writing uses the reference's exact convention: float * 32767 -> int16.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.io import wavfile
+from scipy.signal import resample_poly
+from math import gcd
+
+
+def load_wav(path: str, sr: int | None = None,
+             offset: float = 0.0, duration: float | None = None
+             ) -> tuple[np.ndarray, int]:
+    """Load a wav file as float32 in [-1, 1), optionally resampled.
+
+    Mirrors librosa.core.load(path, sr=sr, offset=..., duration=...) as used
+    at reference steps/extract_feats.py:74 (mono sources; multi-channel is
+    averaged to mono like librosa's default).
+    """
+    file_sr, data = wavfile.read(path)
+    if data.dtype == np.int16:
+        x = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        x = data.astype(np.float32) / 2147483648.0
+    elif data.dtype == np.uint8:
+        x = (data.astype(np.float32) - 128.0) / 128.0
+    else:  # float32 / float64 wavs are already normalized
+        x = data.astype(np.float32)
+    if x.ndim > 1:
+        x = x.mean(axis=1)
+
+    if offset or duration is not None:
+        start = int(round(offset * file_sr))
+        stop = len(x) if duration is None else start + int(round(duration * file_sr))
+        x = x[start:stop]
+
+    if sr is not None and sr != file_sr:
+        g = gcd(sr, file_sr)
+        x = resample_poly(x, sr // g, file_sr // g).astype(np.float32)
+        file_sr = sr
+    return x, file_sr
+
+
+def write_wav_int16(path: str, sr: int, x: np.ndarray) -> None:
+    """Write float waveform as int16 with the reference's x*32767 scaling
+    (reference steps/reconstruct_sources.py:41-42)."""
+    wavfile.write(path, sr, (np.asarray(x) * 32767.0).astype(np.int16))

@@ -1,0 +1,74 @@
+import os
+
+import pytest
+
+from speech_separation_tpu.datadir import (
+    read_scp, write_scp, read_utt2num_spk, write_utt2num_spk,
+    DatasetRegistry, prepare_data_dir, validate_data_dir, split_data_dir,
+)
+from speech_separation_tpu.datadir.validate import DataDirError
+
+
+def test_scp_roundtrip(tmp_path):
+    path = str(tmp_path / "wav.scp")
+    entries = [("utt1", "/a/mix/utt1.wav"), ("utt2", "/a/mix/utt2.wav")]
+    write_scp(path, entries)
+    assert read_scp(path) == entries
+
+
+def test_utt2num_spk_roundtrip(tmp_path):
+    path = str(tmp_path / "utt2num_spk")
+    write_utt2num_spk(path, {"u1": 2, "u2": 3})
+    assert read_utt2num_spk(path) == {"u1": 2, "u2": 3}
+
+
+def test_registry_env_override(tmp_path, monkeypatch):
+    monkeypatch.setenv("SEPSEP_WAV_DIR_WSJ_TR", "/corpora/wsj/tr")
+    reg = DatasetRegistry.load()
+    assert reg.wav_root("wsj_tr") == "/corpora/wsj/tr"
+    assert reg.mix_dir("wsj_tr") == "/corpora/wsj/tr/mix"
+    with pytest.raises(KeyError):
+        reg.wav_root("nonexistent")
+
+
+def test_prepare_data_dir(tmp_path):
+    id_lists = tmp_path / "id_lists"
+    id_lists.mkdir()
+    (id_lists / "toy_tr.txt").write_text("utt_b\nutt_a\n")
+    reg = DatasetRegistry({"toy_tr": "/corpora/toy/tr"})
+    out = prepare_data_dir("toy_tr", reg, data_root=str(tmp_path / "data"),
+                           id_lists_dir=str(id_lists))
+    entries = read_scp(os.path.join(out, "wav.scp"))
+    # order follows the id list, path is <root>/mix/<id>.wav
+    assert entries == [("utt_b", "/corpora/toy/tr/mix/utt_b.wav"),
+                       ("utt_a", "/corpora/toy/tr/mix/utt_a.wav")]
+
+
+def test_validate_data_dir(tmp_path):
+    d = tmp_path / "data" / "toy"
+    d.mkdir(parents=True)
+    (d / "wav.scp").write_text("u1 /x/mix/u1.wav\nu2 /x/mix/u2.wav\n")
+    validate_data_dir(str(d))  # ok
+
+    (d / "utt2num_spk").write_text("u1 2\nu2 2\n")
+    validate_data_dir(str(d))  # still ok
+
+    (d / "utt2num_spk").write_text("u1 2\nWRONG 2\n")
+    with pytest.raises(DataDirError):
+        validate_data_dir(str(d))
+
+
+def test_split_data_dir_matches_reference_awk(tmp_path):
+    d = tmp_path / "toy"
+    d.mkdir()
+    n = 10
+    (d / "wav.scp").write_text("".join(f"u{i:02d} /x/mix/u{i:02d}.wav\n" for i in range(n)))
+    split_dir = split_data_dir(str(d), 3)
+    # reference awk: shard = int((NR-1)*3/10)+1 -> rows 1-4 =>1, 5-7 =>2, 8-10 =>3
+    s1 = read_scp(os.path.join(split_dir, "wav.scp.1"))
+    s2 = read_scp(os.path.join(split_dir, "wav.scp.2"))
+    s3 = read_scp(os.path.join(split_dir, "wav.scp.3"))
+    assert [k for k, _ in s1] == [f"u{i:02d}" for i in range(0, 4)]
+    assert [k for k, _ in s2] == [f"u{i:02d}" for i in range(4, 7)]
+    assert [k for k, _ in s3] == [f"u{i:02d}" for i in range(7, 10)]
+    assert len(s1) + len(s2) + len(s3) == n
