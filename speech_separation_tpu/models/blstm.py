@@ -1,0 +1,152 @@
+"""Bidirectional multi-layer LSTM as a jit-compiled lax.scan program.
+
+Replaces the reference's cuDNN LSTM (``torch.nn.LSTM(feat_dim, 600,
+num_layers=2, bidirectional=True)``, reference archs/uPIT.py:115 and
+archs/RSH.py:155) with a TPU-native formulation:
+
+- **Fused gate matmuls.** The input projection ``x @ W_ih + b`` for all
+  timesteps is one large (B*T, in) x (in, 4H) MXU matmul hoisted out of the
+  recurrence; the scan body only does the (B, H) x (H, 4H) hidden matmul
+  plus elementwise gate math. This is the key to LSTM throughput on TPU —
+  the sequential part touches 4H*H weights per step instead of 4H*(in+H).
+
+- **Packed-sequence semantics via masking.** XLA has no ragged tensors, so
+  variable lengths are reproduced exactly: at padded steps the carry (h, c)
+  passes through unchanged and the output is zeroed — identical to what
+  torch's PackedSequence + pad_packed_sequence produce. The backward
+  direction reverses each row *within its own length* (gather with a
+  per-row index map), so it starts from each utterance's true last frame,
+  exactly like the packed cuDNN backward direction.
+
+- Gate order is (i, f, g, o) and the initial hidden state is caller-provided
+  (the reference draws it from randn per batch — archs/uPIT.py:121-127 — a
+  quirk preserved by ``random_hidden``).
+
+Weight init matches torch.nn.LSTM's default U(-k, k), k = 1/sqrt(hidden);
+the two torch bias vectors (b_ih, b_hh) are algebraically one bias, stored
+summed (initialized as a sum of two uniforms to keep the init distribution).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _uniform(key, shape, bound):
+    return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+
+def init_blstm_params(key, input_dim: int, hidden: int, num_layers: int = 2):
+    """Parameter pytree: tuple over layers of {'fwd': d, 'bwd': d} with
+    d = {'w_ih': (in, 4H), 'w_hh': (H, 4H), 'b': (4H,)}."""
+    k = 1.0 / np.sqrt(hidden)
+    layers = []
+    for layer in range(num_layers):
+        in_dim = input_dim if layer == 0 else 2 * hidden
+        directions = {}
+        for direction in ("fwd", "bwd"):
+            key, k1, k2, k3, k4 = jax.random.split(key, 5)
+            directions[direction] = {
+                "w_ih": _uniform(k1, (in_dim, 4 * hidden), k),
+                "w_hh": _uniform(k2, (hidden, 4 * hidden), k),
+                # sum of the two torch bias draws
+                "b": _uniform(k3, (4 * hidden,), k) + _uniform(k4, (4 * hidden,), k),
+            }
+        layers.append(directions)
+    return tuple(layers)
+
+
+def random_hidden(key, num_layers: int, batch: int, hidden: int):
+    """Reference quirk: initial (h0, c0) ~ N(0, 1) per batch
+    (archs/uPIT.py:121-127). Shapes: (num_layers, 2, B, H) each."""
+    kh, kc = jax.random.split(key)
+    shape = (num_layers, 2, batch, hidden)
+    return jax.random.normal(kh, shape), jax.random.normal(kc, shape)
+
+
+def _lstm_scan(xw: jnp.ndarray, mask: jnp.ndarray, w_hh: jnp.ndarray,
+               h0: jnp.ndarray, c0: jnp.ndarray):
+    """Run one direction's recurrence.
+
+    xw:   (T, B, 4H) precomputed x @ W_ih + b
+    mask: (T, B, 1) — 1.0 at valid steps
+    Returns (outputs (T, B, H) with zeros at masked steps,
+             (h_final, c_final)) — because the carry passes through masked
+    steps, the final carry equals the state at each row's true last step,
+    matching torch's packed-LSTM h_n/c_n.
+    """
+
+    def step(carry, inp):
+        h, c = carry
+        xw_t, m = inp
+        gates = xw_t + jnp.dot(h, w_hh, preferred_element_type=jnp.float32)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        # packed semantics: carry passes through at padded steps
+        h = m * h_new + (1.0 - m) * h
+        c = m * c_new + (1.0 - m) * c
+        return (h, c), m * h_new
+
+    final, ys = jax.lax.scan(step, (h0, c0), (xw, mask))
+    return ys, final
+
+
+def _reverse_within_length(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Reverse each row's first `length` steps: out[b, t] = x[b, L_b-1-t]
+    for t < L_b (values at t >= L_b are irrelevant — they get masked)."""
+    B, T = x.shape[0], x.shape[1]
+    t_idx = jnp.arange(T)[None, :]
+    src = jnp.clip(lengths[:, None] - 1 - t_idx, 0, T - 1)
+    return jnp.take_along_axis(x, src[:, :, None], axis=1)
+
+
+def blstm_forward(params, x: jnp.ndarray, lengths: jnp.ndarray,
+                  h0: jnp.ndarray, c0: jnp.ndarray) -> jnp.ndarray:
+    """Multi-layer bidirectional LSTM.
+
+    Args:
+      params: pytree from init_blstm_params.
+      x: (B, T, in) float32, zero-padded past each row's length.
+      lengths: (B,) int32.
+      h0, c0: (num_layers, 2, B, H) initial states
+              (direction index 0 = fwd, 1 = bwd, matching torch's layout).
+
+    Returns (out, (h_n, c_n)):
+      out: (B, T, 2H) with zeros at padded steps (pad_packed semantics);
+      h_n, c_n: (num_layers, 2, B, H) final states per layer/direction —
+      for the fwd direction the state at each row's true last step, for the
+      bwd direction the state at step 0 (it runs reversed), matching torch.
+    """
+    B, T = x.shape[0], x.shape[1]
+    mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(x.dtype)
+    mask_tb = mask.T[:, :, None]  # (T, B, 1)
+
+    out = x
+    h_finals, c_finals = [], []
+    for layer_idx, layer in enumerate(params):
+        # forward direction
+        p = layer["fwd"]
+        xw = (jnp.dot(out, p["w_ih"], preferred_element_type=jnp.float32)
+              + p["b"]).transpose(1, 0, 2)  # (T, B, 4H)
+        ys, (hf, cf) = _lstm_scan(xw, mask_tb, p["w_hh"],
+                                  h0[layer_idx, 0], c0[layer_idx, 0])
+        y_fwd = ys.transpose(1, 0, 2)
+
+        # backward direction: reverse within length, scan, reverse back
+        p = layer["bwd"]
+        x_rev = _reverse_within_length(out, lengths)
+        xw = (jnp.dot(x_rev, p["w_ih"], preferred_element_type=jnp.float32)
+              + p["b"]).transpose(1, 0, 2)
+        ys, (hb, cb) = _lstm_scan(xw, mask_tb, p["w_hh"],
+                                  h0[layer_idx, 1], c0[layer_idx, 1])
+        y_bwd = _reverse_within_length(ys.transpose(1, 0, 2), lengths) * mask[:, :, None]
+
+        out = jnp.concatenate([y_fwd, y_bwd], axis=-1)
+        h_finals.append(jnp.stack([hf, hb]))
+        c_finals.append(jnp.stack([cf, cb]))
+    return out, (jnp.stack(h_finals), jnp.stack(c_finals))
