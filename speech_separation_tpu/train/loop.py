@@ -1,0 +1,284 @@
+"""Training driver: the reference's steps/train_qsub.py as one jit'd step.
+
+Per-batch work (reference train_qsub.py:116-122) — forward, PIT loss,
+backward, global-norm clip at 0.25, Adam(lr=1e-3) — compiles into a single
+XLA program; the host only feeds batches and logs scalars. Reference
+behaviors kept for interface parity:
+
+- epoch losses are norm-weighted means accumulated exactly like
+  train_qsub.py:118-119 and appended to train_stats/train_loss.txt /
+  cv_loss.txt as ``NNN <loss>`` lines (:143-145); on resume the logs are
+  truncated to epochs <= start_epoch (qsub_train.sh:71-75) and replayed;
+- CV every 5 epochs (epoch % 5 == 4) in eval mode (BN running stats, no
+  update), with spectrogram plots of the first CV batch (:124-141);
+- checkpoints: init.mdl at epoch 0, intermediate_models/NNN.mdl every 5
+  epochs, final.mdl at the end (:104-110,148-155). Unlike the reference,
+  checkpoints carry optimizer + RNG state so resume is bit-continuous
+  (SURVEY.md §3.5 divergence, deliberate); ``reference_resume=True``
+  restores weights only.
+
+TPU specifics: batches are padded to static shapes (see train.data); one
+executable per distinct (T, B, S) shape; when the process sees multiple
+devices, the batch is sharded over the 'data' mesh axis and XLA derives the
+gradient all-reduce (psum over ICI) from the sharding annotations — the
+replacement for the reference's single-GPU-only training (SURVEY.md §2
+parallelism table).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .checkpoint import (save_checkpoint, load_checkpoint,
+                         intermediate_model_path, final_model_path)
+from .data import FeatureDataset, BatchPlan, iter_batches
+from ..models.registry import get_arch
+from ..parallel.mesh import get_mesh, shard_batch
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainLoopConfig:
+    arch: str = "uPIT"
+    batch_size: int = 100
+    num_epochs: int = 200
+    learning_rate: float = 1e-3
+    grad_clip: float = 0.25
+    start_epoch: int = 0
+    checkpoint_every: int = 5
+    cv_every: int = 5
+    seed: int = 0
+    time_pad_multiple: int = 128
+    bucket_by_length: bool = False
+    reference_resume: bool = False  # drop optimizer state on resume, like the reference
+    make_plots: bool = True
+
+
+def make_optimizer(cfg: TrainLoopConfig):
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adam(cfg.learning_rate),
+    )
+
+
+def make_update_step(arch, model_cfg, optimizer):
+    """One jit'd train step: grads of (loss/norm), clip, Adam, BN update."""
+
+    @jax.jit
+    def step(params, state, opt_state, batch, rng):
+        def lossf(p):
+            loss, aux = arch.loss_fn(model_cfg, p, state, batch, rng, True)
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(lossf, has_aux=True)(params)
+        updates, opt_state_new = optimizer.update(grads, opt_state, params)
+        params_new = optax.apply_updates(params, updates)
+        return params_new, aux["new_state"], opt_state_new, loss, aux["norm"]
+
+    return step
+
+
+def make_eval_step(arch, model_cfg):
+    @jax.jit
+    def step(params, state, batch, rng):
+        loss, aux = arch.loss_fn(model_cfg, params, state, batch, rng, False)
+        return loss, aux["norm"]
+
+    return step
+
+
+def _truncate_loss_file(path: str, max_epoch: int) -> list[tuple[int, float]]:
+    """Reference resume semantics (qsub_train.sh:71-75 + train_qsub.py:55-60):
+    keep only epochs <= max_epoch, rewrite the file, return the history."""
+    history = []
+    if os.path.isfile(path):
+        with open(path) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 2 and int(parts[0]) <= max_epoch:
+                    history.append((int(parts[0]), float(parts[1])))
+        with open(path, "w") as f:
+            for ep, loss in history:
+                f.write(f"{ep:03d} {loss}\n")
+    return history
+
+
+def _device_put_batch(batch: dict, mesh) -> dict:
+    arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+    if mesh is not None:
+        arrays = shard_batch(arrays, mesh)
+    else:
+        arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
+    return arrays
+
+
+def train(data_dir: str, exp_dir: str, loop_cfg: TrainLoopConfig,
+          cv_data_dir: str = "", model_kwargs: dict | None = None,
+          use_mesh: bool = True, log=print) -> dict:
+    """Run the full training loop. Returns {'params', 'state', 'model_cfg'}."""
+    arch = get_arch(loop_cfg.arch)
+    model_cfg = arch.Config.from_kwargs(**(model_kwargs or {}))
+    for k, v in (model_kwargs or {}).items():
+        log(f"modelparam: {k} {v}")
+
+    stats_dir = os.path.join(exp_dir, "train_stats")
+    plot_dir = os.path.join(stats_dir, "plots")
+    os.makedirs(stats_dir, exist_ok=True)
+    loss_file = os.path.join(stats_dir, "train_loss.txt")
+    cv_loss_file = os.path.join(stats_dir, "cv_loss.txt")
+
+    dataset = FeatureDataset(data_dir, "train")
+    cv_dataset = FeatureDataset(cv_data_dir, "train") if cv_data_dir else None
+    plan = BatchPlan(batch_size=loop_cfg.batch_size,
+                     time_pad_multiple=loop_cfg.time_pad_multiple,
+                     bucket_by_length=loop_cfg.bucket_by_length,
+                     group_by_num_spk=(arch.NAME == "RSH"),
+                     seed=loop_cfg.seed)
+    num_spks = None
+    if plan.group_by_num_spk:
+        num_spks = np.asarray([s["sources"].shape[0] if "sources" in s else 1
+                               for s in map(dataset.load, range(len(dataset)))])
+
+    mesh = get_mesh() if use_mesh and len(jax.devices()) > 1 else None
+
+    key = jax.random.PRNGKey(loop_cfg.seed)
+    key, init_key = jax.random.split(key)
+    params, state = arch.init(init_key, model_cfg)
+    optimizer = make_optimizer(loop_cfg)
+    opt_state = optimizer.init(params)
+
+    epoch_losses: list[tuple[int, float]] = []
+    cv_losses: list[tuple[int, float]] = []
+
+    if loop_cfg.start_epoch == 0:
+        save_checkpoint(intermediate_model_path(exp_dir, "init"),
+                        params=params, state=state, opt_state=opt_state,
+                        rng=jax.random.key_data(key), epoch=0,
+                        meta={"arch": arch.NAME})
+        # fresh run: reference appends to existing logs only on resume
+        open(loss_file, "w").close()
+        if cv_dataset:
+            open(cv_loss_file, "w").close()
+    else:
+        ckpt = load_checkpoint(
+            intermediate_model_path(exp_dir, loop_cfg.start_epoch),
+            template={"params": params, "state": state, "opt_state": opt_state},
+            reset_optimizer=loop_cfg.reference_resume)
+        params, state = ckpt["params"], ckpt["state"]
+        if ckpt["opt_state"] is not None:
+            opt_state = ckpt["opt_state"]
+        if ckpt["rng"] is not None and not loop_cfg.reference_resume:
+            key = jax.random.wrap_key_data(jnp.asarray(ckpt["rng"]))
+        epoch_losses = _truncate_loss_file(loss_file, loop_cfg.start_epoch)
+        cv_losses = _truncate_loss_file(cv_loss_file, loop_cfg.start_epoch)
+
+    update_step = make_update_step(arch, model_cfg, optimizer)
+    eval_step = make_eval_step(arch, model_cfg)
+
+    lossF = open(loss_file, "a")
+    cv_lossF = open(cv_loss_file, "a") if cv_dataset else None
+
+    utts_seen = 0
+    t_start = time.time()
+    for epoch in range(loop_cfg.start_epoch, loop_cfg.num_epochs):
+        epoch_loss, epoch_norm = 0.0, 0.0
+        for batch in iter_batches(dataset, plan, epoch, num_spks=num_spks):
+            key, step_key = jax.random.split(key)
+            dev_batch = _device_put_batch(batch, mesh)
+            params, state, opt_state, loss, norm = update_step(
+                params, state, opt_state, dev_batch, step_key)
+            loss, norm = float(loss), float(norm)
+            epoch_loss += loss * norm
+            epoch_norm += norm
+            utts_seen += int(batch["row_mask"].sum())
+
+        if cv_dataset and (epoch + 1) % loop_cfg.cv_every == 0:
+            cv_loss_sum, cv_norm_sum = 0.0, 0.0
+            first = True
+            for batch in iter_batches(cv_dataset, plan, 0, shuffle=False,
+                                      num_spks=num_spks):
+                key, step_key = jax.random.split(key)
+                dev_batch = _device_put_batch(batch, mesh)
+                loss, norm = eval_step(params, state, dev_batch, step_key)
+                cv_loss_sum += float(loss) * float(norm)
+                cv_norm_sum += float(norm)
+                if first and loop_cfg.make_plots:
+                    _plot_cv_batch(arch, model_cfg, params, state, dev_batch,
+                                   step_key,
+                                   os.path.join(plot_dir, f"epoch{epoch + 1:03d}"))
+                    first = False
+            cv_avg = cv_loss_sum / cv_norm_sum
+            log(f"For epoch: {epoch + 1:03d} cv set loss is: {cv_avg}")
+            cv_lossF.write(f"{epoch + 1:03d} {cv_avg}\n")
+            cv_lossF.flush()
+            cv_losses.append((epoch + 1, cv_avg))
+
+        avg = epoch_loss / epoch_norm
+        log(f"For epoch: {epoch + 1:03d} loss is: {avg}")
+        lossF.write(f"{epoch + 1:03d} {avg}\n")
+        lossF.flush()
+        epoch_losses.append((epoch + 1, avg))
+
+        if (epoch + 1) % loop_cfg.checkpoint_every == 0:
+            log(f"Saving model for epoch {epoch + 1:03d}")
+            save_checkpoint(intermediate_model_path(exp_dir, epoch + 1),
+                            params=params, state=state, opt_state=opt_state,
+                            rng=jax.random.key_data(key), epoch=epoch + 1,
+                            meta={"arch": arch.NAME})
+            if loop_cfg.make_plots and epoch_losses:
+                from ..utils.plot import plot_loss
+                first_ep = epoch_losses[0][0]
+                plot_loss(list(zip(*epoch_losses)), list(zip(*cv_losses)) if cv_losses else None,
+                          os.path.join(plot_dir, f"epoch{epoch + 1:03d}",
+                                       f"Loss_{first_ep:03d}-{epoch + 1:03d}.png"))
+        sys.stdout.flush()
+
+    save_checkpoint(final_model_path(exp_dir),
+                    params=params, state=state, opt_state=opt_state,
+                    rng=jax.random.key_data(key),
+                    epoch=loop_cfg.num_epochs, meta={"arch": arch.NAME})
+    if loop_cfg.make_plots and epoch_losses:
+        from ..utils.plot import plot_loss
+        first_ep = epoch_losses[0][0]
+        plot_loss(list(zip(*epoch_losses)), list(zip(*cv_losses)) if cv_losses else None,
+                  os.path.join(plot_dir, f"Loss_{first_ep:03d}-{loop_cfg.num_epochs:03d}.png"))
+
+    wall = time.time() - t_start
+    log(f"trained {utts_seen} utterance-steps in {wall:.1f}s "
+        f"({utts_seen / max(wall, 1e-9):.2f} utts/sec)")
+    return {"params": params, "state": state, "model_cfg": model_cfg,
+            "utts_per_sec": utts_seen / max(wall, 1e-9)}
+
+
+def _plot_cv_batch(arch, model_cfg, params, state, dev_batch, rng, plotdir):
+    """Reference CV plots (archs/uPIT.py:199-204): mixture, masked mixture,
+    chosen permutation for the first CV utterance."""
+    try:
+        from ..utils.plot import plot_spec
+        loss, aux = arch.loss_fn(model_cfg, params, state, dev_batch, rng, False)
+        mix = np.asarray(dev_batch["mix"][0])
+        plot_spec(mix, os.path.join(plotdir, "Mixture.png"))
+        if arch.NAME == "uPIT":
+            masked = np.asarray(aux["masked"][0])  # (T, S, F)
+            T, S, F = masked.shape
+            plot_spec(masked.reshape(T, S * F),
+                      os.path.join(plotdir, "Masked_Mixture.png"))
+            from ..ops.pit import make_permutations
+            perm = make_permutations(model_cfg.num_spk)[int(aux["best_perm"][0])]
+            sources = np.asarray(dev_batch["sources"][0])  # (S, T, F)
+            chosen = np.concatenate([sources[i] for i in perm], axis=1)
+            plot_spec(chosen, os.path.join(plotdir, "Chosen_Permutation.png"))
+        else:  # RSH: per-pass masks
+            masks = np.asarray(aux["masks"][0])  # (S, T, F)
+            for p in range(masks.shape[0]):
+                plot_spec(masks[p], os.path.join(plotdir, f"Pass-{p + 1}_Mask_Out.png"))
+    except Exception as e:  # plotting must never kill training
+        print(f"warning: cv plotting failed: {e}")
