@@ -1,0 +1,133 @@
+#!/usr/bin/env python3
+"""Benchmark: full-size uPIT training throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "utts/sec/chip", "vs_baseline": N, ...}
+
+The measured configuration is the reference's training hot loop at reference
+scale (SURVEY.md §6): uPIT BLSTM 2x600, feat_dim 257, num_spk 2, batch 100,
+~6.1 s utterances (384 frames at hop 128 / 8 kHz) — forward + PIT loss +
+backward + global-norm clip + Adam, as a single jit'd XLA program.
+
+vs_baseline divides by the measured reference implementation (torch,
+reference semantics, measured on this machine's CPU by
+tools/measure_reference_baseline.py since the repo ships no GPU and the
+reference publishes no numbers — BASELINE.md). Extra detail fields report
+the fused STFT->mask->iSTFT eval-path bandwidth.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def bench_train_step(B=100, T=384, iters=20):
+    import jax
+    import jax.numpy as jnp
+    from speech_separation_tpu.models import upit
+    from speech_separation_tpu.train.loop import (TrainLoopConfig,
+                                                  make_optimizer,
+                                                  make_update_step)
+
+    cfg = upit.Config()
+    params, state = upit.init(jax.random.PRNGKey(0), cfg)
+    optimizer = make_optimizer(TrainLoopConfig())
+    opt_state = optimizer.init(params)
+    step = make_update_step(upit, cfg, optimizer)
+
+    rng = np.random.default_rng(0)
+    S, F = cfg.num_spk, cfg.feat_dim
+    batch = {
+        "mix": jnp.asarray(np.abs(rng.standard_normal((B, T, F))).astype(np.float32)),
+        "sources": jnp.asarray(np.abs(rng.standard_normal((B, S, T, F))).astype(np.float32)),
+        "lengths": jnp.asarray(np.full(B, T, np.int32)),
+        "row_mask": jnp.asarray(np.ones(B, np.float32)),
+    }
+    key = jax.random.PRNGKey(1)
+
+    t0 = time.time()
+    params, state, opt_state, loss, norm = step(params, state, opt_state, batch, key)
+    float(loss)  # value transfer: the only reliable sync on the axon backend
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    for _ in range(iters):
+        params, state, opt_state, loss, norm = step(params, state, opt_state,
+                                                    batch, key)
+    final_loss = float(loss)  # forces the whole dependency chain
+    dt = (time.time() - t0) / iters
+    return {"utts_per_sec": B / dt, "step_ms": dt * 1e3,
+            "compile_s": compile_s, "loss": final_loss}
+
+
+def bench_dsp_bandwidth(B=64, n_sec=6.0, iters=20):
+    """Fused STFT -> unit-mask -> iSTFT roundtrip bandwidth (GB/s of audio
+    samples in + out, the BASELINE.json feat-extract+iSTFT metric)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from speech_separation_tpu.dsp.stft import (num_frames,
+                                                stft_centered_batch,
+                                                istft_batch)
+
+    n_fft, hop, sr = 512, 128, 8000
+    L = int(n_sec * sr)
+    n_t = num_frames(L, hop)
+    rng = np.random.default_rng(0)
+    xp = rng.standard_normal((B, L + n_fft)).astype(np.float32)
+    counts = np.full(B, n_t, np.int32)
+
+    @jax.jit
+    def roundtrip(x, c):
+        re, im = stft_centered_batch(x, n_fft, hop, n_t)
+        y = istft_batch(re, im, c, hop)
+        return y, jnp.sum(y)  # scalar for reliable sync-by-transfer
+
+    x, c = jnp.asarray(xp), jnp.asarray(counts)
+    y, chk = roundtrip(x, c)
+    float(chk)
+    t0 = time.time()
+    for _ in range(iters):
+        y, chk = roundtrip(x, c)
+    float(chk)
+    dt = (time.time() - t0) / iters
+    gbytes = (xp.nbytes + np.asarray(y).nbytes) / 1e9
+    return {"gb_per_sec": gbytes / dt, "roundtrip_ms": dt * 1e3,
+            "audio_sec_per_sec": B * n_sec / dt}
+
+
+def main():
+    here = os.path.dirname(os.path.abspath(__file__))
+    baseline_path = os.path.join(here, "tools", "baseline_measured.json")
+    baseline_utts = None
+    if os.path.isfile(baseline_path):
+        with open(baseline_path) as f:
+            baseline_utts = json.load(f).get("utts_per_sec")
+
+    train_res = bench_train_step()
+    dsp_res = bench_dsp_bandwidth()
+
+    import jax
+    value = train_res["utts_per_sec"]
+    out = {
+        "metric": "uPIT train throughput (B=100, T=384, 2x600 BLSTM, full step)",
+        "value": round(value, 2),
+        "unit": "utts/sec/chip",
+        "vs_baseline": round(value / baseline_utts, 2) if baseline_utts else None,
+        "detail": {
+            "step_ms": round(train_res["step_ms"], 2),
+            "compile_s": round(train_res["compile_s"], 1),
+            "baseline_utts_per_sec": baseline_utts,
+            "baseline_hw": "torch-CPU (reference semantics; no GPU here, no published numbers)",
+            "dsp_roundtrip_gb_per_sec": round(dsp_res["gb_per_sec"], 2),
+            "dsp_audio_sec_per_sec": round(dsp_res["audio_sec_per_sec"], 0),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

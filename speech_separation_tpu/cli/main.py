@@ -1,0 +1,404 @@
+"""sepsep — the framework CLI.
+
+Replaces the reference's six layers of bash/SGE plumbing (run_train.sh,
+run_eval.sh, steps/*.sh, tools/*.sh, cmd.sh — SURVEY.md §1 L0/L6) with one
+staged Python CLI on a single TPU host. The reference's observable
+conventions survive:
+
+- the data-dir / id_lists / exp-dir layouts and the ``stage=N`` skip-ahead
+  convention (run_train.sh:6-18, run_eval.sh:6-15);
+- the ``key=value``-per-line model config file, snapshotted into the exp dir
+  as ``conf`` and auto-reused at eval (run_train.sh:57, run_eval.sh:25);
+- ``--nj`` sharded feature extraction / oracle eval (as host worker
+  processes instead of SGE array jobs — extract_feats.sh:41-53).
+
+Subcommands: prepare, validate, split, extract, train, eval-masks,
+reconstruct, score, oracle, run-train, run-eval, bench.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+
+
+def read_model_config(path: str) -> dict:
+    """key=value-per-line model config (reference train_qsub.py:87-91)."""
+    kwargs = {}
+    if path:
+        with open(path) as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if line and "=" in line:
+                    k, _, v = line.partition("=")
+                    kwargs[k] = v
+    return kwargs
+
+
+def _registry(args):
+    from ..datadir import DatasetRegistry
+    return DatasetRegistry.load(getattr(args, "registry", None)
+                                or os.path.join(args.id_lists_dir, "path.json"))
+
+
+# --------------------------------------------------------------------- steps
+
+def cmd_prepare(args):
+    from ..datadir import prepare_data_dir
+    out = prepare_data_dir(args.dataset, _registry(args),
+                           data_root=args.data_root,
+                           id_lists_dir=args.id_lists_dir)
+    print(f"prepared {out}")
+
+
+def cmd_validate(args):
+    from ..datadir import validate_data_dir
+    validate_data_dir(args.data_dir)
+    print(f"Data directory {args.data_dir} is OK.")
+
+
+def cmd_split(args):
+    from ..datadir import split_data_dir
+    print(split_data_dir(args.data_dir, args.num_shards))
+
+
+def _extract(data_dir, data_type, feat_dir, args):
+    from ..datadir import validate_data_dir, split_data_dir
+    from ..dsp import STFTConfig
+    from ..dsp.extract import extract_features, merge_shard_outputs
+    cfg = STFTConfig(n_fft=args.fft_dim, hop=args.step_size,
+                     sample_rate=args.sample_rate)
+    nj = getattr(args, "nj", 1)
+    mj = getattr(args, "mj", 1)
+    if nj > 1:
+        validate_data_dir(data_dir)
+        split_dir = split_data_dir(data_dir, nj)
+        if mj > 1:
+            # spawn (not fork): the parent holds initialized JAX/TPU state
+            # which must never be forked into workers
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+            ctx = mp.get_context("spawn")
+            with ProcessPoolExecutor(max_workers=mj, mp_context=ctx) as pool:
+                futures = [pool.submit(extract_features, split_dir, data_type,
+                                       feat_dir, cfg, f".{i}")
+                           for i in range(1, nj + 1)]
+                for f in futures:
+                    f.result()
+        else:
+            for i in range(1, nj + 1):
+                extract_features(split_dir, data_type, feat_dir, cfg, f".{i}")
+        merge_shard_outputs(data_dir, split_dir, data_type, nj)
+    else:
+        extract_features(data_dir, data_type, feat_dir, cfg)
+
+
+def cmd_extract(args):
+    _extract(args.data_dir, args.data_type, args.feat_dir, args)
+
+
+def cmd_train(args):
+    from ..train.loop import TrainLoopConfig, train
+    loop_cfg = TrainLoopConfig(
+        arch=args.arch, batch_size=args.batch_size,
+        num_epochs=args.num_epochs, learning_rate=args.learning_rate,
+        start_epoch=args.start_epoch, seed=args.seed,
+        time_pad_multiple=args.time_pad_multiple,
+        bucket_by_length=args.bucket_by_length,
+        reference_resume=args.reference_resume,
+        make_plots=not args.no_plots)
+    train(args.data_dir, args.exp_dir, loop_cfg,
+          cv_data_dir=args.cv_data_dir,
+          model_kwargs=read_model_config(args.model_config))
+
+
+def cmd_eval_masks(args):
+    from ..eval import generate_masks
+    generate_masks(args.model, args.data_dir, args.out_dir,
+                   arch_name=args.arch,
+                   model_kwargs=read_model_config(args.model_config),
+                   batch_size=args.batch_size)
+
+
+def cmd_reconstruct(args):
+    from ..eval import reconstruct_sources
+    reconstruct_sources(args.data_dir, args.exp_dir, hop=args.step_size,
+                        sample_rate=args.sample_rate)
+
+
+def cmd_score(args):
+    from ..eval import evaluate_sources
+    evaluate_sources(args.data_dir, args.exp_dir, num_workers=args.nj)
+
+
+def cmd_oracle(args):
+    from ..datadir import validate_data_dir, split_data_dir
+    from ..eval import evaluate_oracle, merge_oracle_shards
+    from ..dsp import STFTConfig
+    cfg = STFTConfig(n_fft=args.fft_dim, hop=args.step_size,
+                     sample_rate=args.sample_rate)
+    if args.nj > 1:
+        validate_data_dir(args.data_dir)
+        split_dir = split_data_dir(args.data_dir, args.nj)
+        # oracle reads wav.scp.<i> from the split dir but writes into
+        # <data-dir>/oracle_*; run each shard against the split dir
+        if args.mj > 1:
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+            ctx = mp.get_context("spawn")  # never fork initialized JAX
+            with ProcessPoolExecutor(max_workers=args.mj, mp_context=ctx) as pool:
+                futs = [pool.submit(evaluate_oracle, split_dir, args.hard_mask,
+                                    cfg, f".{i}") for i in range(1, args.nj + 1)]
+                for f in futs:
+                    f.result()
+        else:
+            for i in range(1, args.nj + 1):
+                evaluate_oracle(split_dir, args.hard_mask, cfg, f".{i}")
+        # move shard outputs up before merging
+        kind = "hard" if args.hard_mask else "soft"
+        src = os.path.join(split_dir, f"oracle_{kind}_mask_eval")
+        dst = os.path.join(args.data_dir, f"oracle_{kind}_mask_eval")
+        os.makedirs(dst, exist_ok=True)
+        for name in os.listdir(src):
+            shutil.move(os.path.join(src, name), os.path.join(dst, name))
+        means = merge_oracle_shards(args.data_dir, args.hard_mask, args.nj)
+    else:
+        evaluate_oracle(args.data_dir, args.hard_mask, cfg)
+        means = merge_oracle_shards(args.data_dir, args.hard_mask, 1)
+    print(" ".join(f"oracle mean {k}: {v:.2f}" for k, v in means.items()))
+
+
+# ------------------------------------------------------------------- recipes
+
+def cmd_run_train(args):
+    """Staged training recipe (reference run_train.sh)."""
+    datasets = [args.train_set] + ([args.cv_set] if args.cv_set else [])
+
+    if args.stage <= 0:
+        print("### Preparing data directories (stage 0) ###")
+        from ..datadir import prepare_data_dir
+        for ds in datasets:
+            prepare_data_dir(ds, _registry(args), data_root=args.data_root,
+                             id_lists_dir=args.id_lists_dir)
+
+    if args.stage <= 1:
+        print("### Extracting features (stage 1) ###")
+        for ds in datasets:
+            _extract(os.path.join(args.data_root, ds), "train",
+                     os.path.join(args.featdir, f"{ds}_train"), args)
+
+    if args.stage <= 2:
+        print("### Training model (stage 2) ###")
+        exp_dir = os.path.join("exp", f"{args.arch}_{args.train_set}")
+        os.makedirs(exp_dir, exist_ok=True)
+        # snapshot the model config (run_train.sh:57) and the arch identity
+        # (the reference snapshots the arch *source*, run_train.sh:56)
+        if args.model_config:
+            shutil.copy(args.model_config, os.path.join(exp_dir, "conf"))
+        from ..models.registry import get_arch
+        arch_mod = get_arch(args.arch)
+        with open(os.path.join(exp_dir, "arch.json"), "w") as f:
+            json.dump({"arch": arch_mod.NAME, "module": arch_mod.__name__}, f)
+        if getattr(arch_mod, "__file__", None):
+            shutil.copy(arch_mod.__file__, os.path.join(exp_dir, "arch.py"))
+
+        from ..train.loop import TrainLoopConfig, train
+        loop_cfg = TrainLoopConfig(
+            arch=args.arch, batch_size=args.batch_size,
+            num_epochs=args.num_epochs, learning_rate=args.learning_rate,
+            start_epoch=args.start_epoch, seed=args.seed,
+            time_pad_multiple=args.time_pad_multiple,
+            bucket_by_length=args.bucket_by_length)
+        cv_dir = os.path.join(args.data_root, args.cv_set) if args.cv_set else ""
+        train(os.path.join(args.data_root, args.train_set), exp_dir, loop_cfg,
+              cv_data_dir=cv_dir,
+              model_kwargs=read_model_config(args.model_config))
+
+
+def cmd_run_eval(args):
+    """Staged evaluation recipe (reference run_eval.sh)."""
+    test_sets = args.test_sets.split()
+    model = args.intermediate_model_num or "final"
+    model_config = args.model_config
+    conf = os.path.join(args.model_dir, "conf")
+    if not model_config and os.path.isfile(conf):
+        model_config = conf  # auto-reuse snapshot (run_eval.sh:25)
+
+    if args.stage <= 0:
+        print("### Preparing data directories (stage 0) ###")
+        from ..datadir import prepare_data_dir
+        for ds in test_sets:
+            prepare_data_dir(ds, _registry(args), data_root=args.data_root,
+                             id_lists_dir=args.id_lists_dir)
+
+    if args.stage <= 1:
+        print("### Extracting features (stage 1) ###")
+        for ds in test_sets:
+            _extract(os.path.join(args.data_root, ds), "test",
+                     os.path.join(args.featdir, f"{ds}_test"), args)
+
+    if args.stage <= 2:
+        print("### Generating masks (stage 2) ###")
+        from ..eval import generate_masks
+        if args.intermediate_model_num:
+            model_path = os.path.join(args.model_dir, "intermediate_models",
+                                      f"{int(args.intermediate_model_num):03d}.mdl")
+        else:
+            model_path = os.path.join(args.model_dir, "final.mdl")
+        for ds in test_sets:
+            out_dir = os.path.join(args.model_dir, f"output_{model}", ds)
+            generate_masks(model_path, os.path.join(args.data_root, ds),
+                           os.path.join(out_dir, "masks"),
+                           model_kwargs=read_model_config(model_config),
+                           batch_size=args.batch_size)
+
+    if args.stage <= 3:
+        print("### Generating estimated source wav files (stage 3) ###")
+        from ..eval import reconstruct_sources
+        for ds in test_sets:
+            reconstruct_sources(os.path.join(args.data_root, ds),
+                                os.path.join(args.model_dir, f"output_{model}", ds),
+                                hop=args.step_size, sample_rate=args.sample_rate)
+
+    if args.stage <= 4:
+        print("### Evaluating estimated sources (stage 4) ###")
+        from ..eval import evaluate_sources
+        for ds in test_sets:
+            means = evaluate_sources(
+                os.path.join(args.data_root, ds),
+                os.path.join(args.model_dir, f"output_{model}", ds),
+                num_workers=args.nj)
+            print(f"{ds} mean SDR: {means['SDR']:.2f}")
+
+
+# --------------------------------------------------------------------- main
+
+def _add_common(p):
+    p.add_argument("--data-root", default="data")
+    p.add_argument("--id-lists-dir", default="id_lists")
+    p.add_argument("--registry", default="",
+                   help="dataset registry JSON (default id_lists/path.json)")
+
+
+def _add_stft(p):
+    p.add_argument("--fft-dim", type=int, default=512)
+    p.add_argument("--step-size", type=int, default=128)
+    p.add_argument("--sample-rate", type=int, default=8000)
+    p.add_argument("--nj", type=int, default=1,
+                   help="number of shards (reference array-job compat)")
+    p.add_argument("--mj", type=int, default=1,
+                   help="max concurrent worker processes (1 = in-process)")
+
+
+def _add_train(p):
+    p.add_argument("--cv-data-dir", default="")
+    p.add_argument("--model-config", default="")
+    p.add_argument("--batch-size", type=int, default=100)
+    p.add_argument("--start-epoch", type=int, default=0)
+    p.add_argument("--num-epochs", type=int, default=200)
+    p.add_argument("--learning-rate", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--time-pad-multiple", type=int, default=128)
+    p.add_argument("--bucket-by-length", action="store_true")
+    p.add_argument("--reference-resume", action="store_true",
+                   help="drop optimizer state on resume, like the reference")
+    p.add_argument("--no-plots", action="store_true")
+
+
+def build_parser():
+    ap = argparse.ArgumentParser(prog="sepsep", description=__doc__)
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("prepare", help="build data/<set>/wav.scp")
+    p.add_argument("dataset")
+    _add_common(p)
+    p.set_defaults(fn=cmd_prepare)
+
+    p = sub.add_parser("validate", help="check data-dir consistency")
+    p.add_argument("data_dir")
+    p.set_defaults(fn=cmd_validate)
+
+    p = sub.add_parser("split", help="shard a data dir")
+    p.add_argument("data_dir")
+    p.add_argument("num_shards", type=int)
+    p.set_defaults(fn=cmd_split)
+
+    p = sub.add_parser("extract", help="extract STFT features")
+    p.add_argument("data_dir")
+    p.add_argument("data_type", choices=["train", "test"])
+    p.add_argument("feat_dir")
+    _add_stft(p)
+    p.set_defaults(fn=cmd_extract)
+
+    p = sub.add_parser("train", help="train a separation model")
+    p.add_argument("arch")
+    p.add_argument("data_dir")
+    p.add_argument("exp_dir")
+    _add_train(p)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("eval-masks", help="generate masks for a test set")
+    p.add_argument("model")
+    p.add_argument("data_dir")
+    p.add_argument("out_dir")
+    p.add_argument("--arch", default="")
+    p.add_argument("--model-config", default="")
+    p.add_argument("--batch-size", type=int, default=100)
+    p.set_defaults(fn=cmd_eval_masks)
+
+    p = sub.add_parser("reconstruct", help="masked iSTFT -> wavs")
+    p.add_argument("data_dir")
+    p.add_argument("exp_dir")
+    p.add_argument("--step-size", type=int, default=128)
+    p.add_argument("--sample-rate", type=int, default=8000)
+    p.set_defaults(fn=cmd_reconstruct)
+
+    p = sub.add_parser("score", help="BSS-eval + SI-SDR scoring")
+    p.add_argument("data_dir")
+    p.add_argument("exp_dir")
+    p.add_argument("--nj", type=int, default=0)
+    p.set_defaults(fn=cmd_score)
+
+    p = sub.add_parser("oracle", help="oracle-mask upper bound eval")
+    p.add_argument("data_dir")
+    p.add_argument("--hard-mask", action="store_true")
+    _add_stft(p)
+    p.set_defaults(fn=cmd_oracle)
+
+    p = sub.add_parser("run-train", help="staged training recipe")
+    p.add_argument("--stage", type=int, default=0)
+    p.add_argument("--arch", default="uPIT")
+    p.add_argument("--train-set", required=True)
+    p.add_argument("--cv-set", default="")
+    p.add_argument("--featdir", default="feats")
+    _add_common(p)
+    _add_stft(p)
+    _add_train(p)
+    p.set_defaults(fn=cmd_run_train)
+
+    p = sub.add_parser("run-eval", help="staged evaluation recipe")
+    p.add_argument("--stage", type=int, default=0)
+    p.add_argument("--model-dir", required=True)
+    p.add_argument("--test-sets", required=True,
+                   help="space-separated dataset names")
+    p.add_argument("--intermediate-model-num", default="")
+    p.add_argument("--model-config", default="")
+    p.add_argument("--batch-size", type=int, default=100)
+    p.add_argument("--featdir", default="feats")
+    _add_common(p)
+    _add_stft(p)
+    p.set_defaults(fn=cmd_run_eval)
+
+    return ap
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -70,7 +70,9 @@ def evaluate_sources(data_dir: str, exp_dir: str, num_workers: int = 0,
 
     jobs = [(utt, path, num_src_dict[utt], est_dir) for utt, path in entries]
     if num_workers and num_workers > 1:
-        with ProcessPoolExecutor(max_workers=num_workers) as pool:
+        import multiprocessing as mp
+        ctx = mp.get_context("spawn")  # never fork initialized JAX state
+        with ProcessPoolExecutor(max_workers=num_workers, mp_context=ctx) as pool:
             results = list(pool.map(_score_one, jobs, chunksize=4))
     else:
         results = [_score_one(j) for j in jobs]
