@@ -69,21 +69,32 @@ def random_hidden(key, num_layers: int, batch: int, hidden: int):
 
 
 def _lstm_scan(xw: jnp.ndarray, mask: jnp.ndarray, w_hh: jnp.ndarray,
-               h0: jnp.ndarray, c0: jnp.ndarray):
+               h0: jnp.ndarray, c0: jnp.ndarray, compute_dtype=jnp.float32):
     """Run one direction's recurrence.
 
     xw:   (T, B, 4H) precomputed x @ W_ih + b
     mask: (T, B, 1) — 1.0 at valid steps
+    compute_dtype: matmul input dtype. bfloat16 feeds the MXU at full rate
+    (accumulation stays float32 via preferred_element_type); the cell state
+    and gate nonlinearities always run in float32 so the recurrence does
+    not accumulate rounding error step over step.
+
     Returns (outputs (T, B, H) with zeros at masked steps,
              (h_final, c_final)) — because the carry passes through masked
     steps, the final carry equals the state at each row's true last step,
     matching torch's packed-LSTM h_n/c_n.
     """
+    w_hh_c = w_hh.astype(compute_dtype)
 
     def step(carry, inp):
         h, c = carry
         xw_t, m = inp
-        gates = xw_t + jnp.dot(h, w_hh, preferred_element_type=jnp.float32)
+        # (..., B, H) x (..., H, 4H): both directions ride one batched
+        # matmul when w_hh carries a leading direction axis. xw streams
+        # from HBM in compute_dtype (half the bytes in bf16 — the scan is
+        # partly bound on streaming the precomputed gate inputs).
+        gates = xw_t.astype(jnp.float32) + jnp.matmul(
+            h.astype(compute_dtype), w_hh_c, preferred_element_type=jnp.float32)
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
         h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
@@ -92,7 +103,7 @@ def _lstm_scan(xw: jnp.ndarray, mask: jnp.ndarray, w_hh: jnp.ndarray,
         c = m * c_new + (1.0 - m) * c
         return (h, c), m * h_new
 
-    final, ys = jax.lax.scan(step, (h0, c0), (xw, mask))
+    final, ys = jax.lax.scan(step, (h0, c0), (xw, mask), unroll=8)
     return ys, final
 
 
@@ -106,7 +117,8 @@ def _reverse_within_length(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
 
 
 def blstm_forward(params, x: jnp.ndarray, lengths: jnp.ndarray,
-                  h0: jnp.ndarray, c0: jnp.ndarray) -> jnp.ndarray:
+                  h0: jnp.ndarray, c0: jnp.ndarray,
+                  compute_dtype=jnp.float32) -> jnp.ndarray:
     """Multi-layer bidirectional LSTM.
 
     Args:
@@ -115,6 +127,8 @@ def blstm_forward(params, x: jnp.ndarray, lengths: jnp.ndarray,
       lengths: (B,) int32.
       h0, c0: (num_layers, 2, B, H) initial states
               (direction index 0 = fwd, 1 = bwd, matching torch's layout).
+      compute_dtype: dtype fed to the MXU (see _lstm_scan); outputs and
+              states are float32 either way.
 
     Returns (out, (h_n, c_n)):
       out: (B, T, 2H) with zeros at padded steps (pad_packed semantics);
@@ -128,23 +142,30 @@ def blstm_forward(params, x: jnp.ndarray, lengths: jnp.ndarray,
 
     out = x
     h_finals, c_finals = [], []
+    mask_scan = mask_tb[:, None, :, :]  # (T, 1, B, 1) broadcasting over dirs
     for layer_idx, layer in enumerate(params):
-        # forward direction
-        p = layer["fwd"]
-        xw = (jnp.dot(out, p["w_ih"], preferred_element_type=jnp.float32)
-              + p["b"]).transpose(1, 0, 2)  # (T, B, 4H)
-        ys, (hf, cf) = _lstm_scan(xw, mask_tb, p["w_hh"],
-                                  h0[layer_idx, 0], c0[layer_idx, 0])
-        y_fwd = ys.transpose(1, 0, 2)
+        out_c = out.astype(compute_dtype)
+        pf, pb = layer["fwd"], layer["bwd"]
 
-        # backward direction: reverse within length, scan, reverse back
-        p = layer["bwd"]
-        x_rev = _reverse_within_length(out, lengths)
-        xw = (jnp.dot(x_rev, p["w_ih"], preferred_element_type=jnp.float32)
-              + p["b"]).transpose(1, 0, 2)
-        ys, (hb, cb) = _lstm_scan(xw, mask_tb, p["w_hh"],
-                                  h0[layer_idx, 1], c0[layer_idx, 1])
-        y_bwd = _reverse_within_length(ys.transpose(1, 0, 2), lengths) * mask[:, :, None]
+        # both directions share ONE scan: stack them on a leading axis and
+        # let the per-step hidden projection be a single batched matmul.
+        # This halves the number of sequential scan steps per layer — the
+        # recurrence is latency-bound on TPU, not FLOP-bound.
+        x_rev = _reverse_within_length(out_c, lengths)
+        xw_f = jnp.dot(out_c, pf["w_ih"].astype(compute_dtype),
+                       preferred_element_type=jnp.float32) + pf["b"]
+        xw_b = jnp.dot(x_rev, pb["w_ih"].astype(compute_dtype),
+                       preferred_element_type=jnp.float32) + pb["b"]
+        # (T, 2, B, 4H), streamed through the scan in compute_dtype
+        xw = jnp.stack([xw_f, xw_b], axis=0).transpose(2, 0, 1, 3)
+        xw = xw.astype(compute_dtype)
+        w_hh = jnp.stack([pf["w_hh"], pb["w_hh"]])  # (2, H, 4H)
+
+        ys, ((hf, hb), (cf, cb)) = _lstm_scan(
+            xw, mask_scan, w_hh, h0[layer_idx], c0[layer_idx], compute_dtype)
+        y_fwd = ys[:, 0].transpose(1, 0, 2)
+        y_bwd = _reverse_within_length(
+            ys[:, 1].transpose(1, 0, 2), lengths) * mask[:, :, None]
 
         out = jnp.concatenate([y_fwd, y_bwd], axis=-1)
         h_finals.append(jnp.stack([hf, hb]))

@@ -52,20 +52,20 @@ class Config:
     # num_spk is per-batch (variable) for RSH, not a model property;
     # kept for interface compatibility with key=value model configs.
     num_spk: int = 2
+    compute_dtype: str = "float32"  # see upit.Config
 
     @classmethod
     def from_kwargs(cls, **kwargs):
-        fields = {f.name: f.type for f in dataclasses.fields(cls)}
-        clean = {}
-        for k, v in kwargs.items():
-            if k not in fields:
-                continue
-            clean[k] = (str(v).lower() in ("1", "true", "yes")) if "bool" in str(fields[k]) else int(v)
-        return cls(**clean)
+        from .upit import _coerce_kwargs
+        return cls(**_coerce_kwargs(cls, kwargs))
 
     @property
     def input_dim(self) -> int:
         return 2 * self.feat_dim
+
+    @property
+    def mxu_dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
 
 def init(key, cfg: Config):
@@ -88,9 +88,11 @@ def _forward_pass(cfg: Config, params, bn_state, combo, lengths, row_mask,
                   hidden, train: bool):
     """One extraction pass. Returns (mask (B,T,F), new_bn_state, new_hidden)."""
     h0, c0 = hidden
-    y, hidden_out = blstm_forward(params["blstm"], combo, lengths, h0, c0)
+    y, hidden_out = blstm_forward(params["blstm"], combo, lengths, h0, c0,
+                                  compute_dtype=cfg.mxu_dtype)
     y, bn_state = batchnorm_apply(params["bn"], bn_state, y, row_mask, train)
-    y = jnp.dot(y, params["lin"]["w"], preferred_element_type=jnp.float32) + params["lin"]["b"]
+    y = jnp.dot(y.astype(cfg.mxu_dtype), params["lin"]["w"].astype(cfg.mxu_dtype),
+                preferred_element_type=jnp.float32) + params["lin"]["b"]
     return jax.nn.sigmoid(y), bn_state, hidden_out
 
 

@@ -50,22 +50,42 @@ class Config:
     hidden: int = 600
     num_layers: int = 2
     zero_init_hidden: bool = False
+    # MXU input dtype: "bfloat16" feeds the systolic array at full rate
+    # (float32 accumulation; gate/cell math stays float32). "float32" is
+    # the bit-faithful default.
+    compute_dtype: str = "float32"
 
     @classmethod
     def from_kwargs(cls, **kwargs):
         """Accept the reference's key=value model-config strings
         (train_qsub.py:87-91 passes everything as str)."""
-        fields = {f.name: f.type for f in dataclasses.fields(cls)}
-        clean = {}
-        for k, v in kwargs.items():
-            if k not in fields:
-                continue
-            clean[k] = (str(v).lower() in ("1", "true", "yes")) if "bool" in str(fields[k]) else int(v)
-        return cls(**clean)
+        return cls(**_coerce_kwargs(cls, kwargs))
 
     @property
     def input_dim(self) -> int:
         return self.feat_dim
+
+    @property
+    def mxu_dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+
+def _coerce_kwargs(cls, kwargs: dict) -> dict:
+    """Coerce the reference's all-string key=value config values onto the
+    dataclass field types."""
+    fields = {f.name: str(f.type) for f in dataclasses.fields(cls)}
+    clean = {}
+    for k, v in kwargs.items():
+        if k not in fields:
+            continue
+        t = fields[k]
+        if "bool" in t:
+            clean[k] = str(v).lower() in ("1", "true", "yes")
+        elif "int" in t:
+            clean[k] = int(v)
+        else:
+            clean[k] = str(v)
+    return clean
 
 
 def init(key, cfg: Config):
@@ -100,9 +120,11 @@ def forward(cfg: Config, params, state, x, lengths, row_mask, rng, train: bool):
         c0 = jnp.zeros(shape, jnp.float32)
     else:
         h0, c0 = random_hidden(rng, cfg.num_layers, B, cfg.hidden)
-    y, _ = blstm_forward(params["blstm"], x, lengths, h0, c0)
+    y, _ = blstm_forward(params["blstm"], x, lengths, h0, c0,
+                         compute_dtype=cfg.mxu_dtype)
     y, bn_state = batchnorm_apply(params["bn"], state["bn"], y, row_mask, train)
-    y = jnp.dot(y, params["lin"]["w"], preferred_element_type=jnp.float32) + params["lin"]["b"]
+    y = jnp.dot(y.astype(cfg.mxu_dtype), params["lin"]["w"].astype(cfg.mxu_dtype),
+                preferred_element_type=jnp.float32) + params["lin"]["b"]
     return jax.nn.sigmoid(y), {"bn": bn_state}
 
 
