@@ -139,10 +139,14 @@ def extract_features(data_dir: str, data_type: str, feat_dir: str,
         n_frames_mix = None
         for key, token in tokens.items():
             re, im = stft.pop(token)
+            # ascontiguousarray: re/im are transposed views; without it numpy
+            # would store the member fortran_order and every reader pays
             if data_type == "train":
-                file_dict[key] = np.sqrt(re * re + im * im).astype(np.float32)
+                file_dict[key] = np.ascontiguousarray(
+                    np.sqrt(re * re + im * im), dtype=np.float32)
             else:
-                file_dict[key] = (re + 1j * im).astype(np.complex64)
+                file_dict[key] = np.ascontiguousarray(
+                    re + 1j * im, dtype=np.complex64)
             if key == "mix":
                 n_frames_mix = file_dict[key].shape[1]
         np.savez_compressed(out_path, **file_dict)

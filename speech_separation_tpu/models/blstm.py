@@ -118,7 +118,8 @@ def _reverse_within_length(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
 
 def blstm_forward(params, x: jnp.ndarray, lengths: jnp.ndarray,
                   h0: jnp.ndarray, c0: jnp.ndarray,
-                  compute_dtype=jnp.float32) -> jnp.ndarray:
+                  compute_dtype=jnp.float32,
+                  use_pallas: bool | None = None) -> jnp.ndarray:
     """Multi-layer bidirectional LSTM.
 
     Args:
@@ -129,6 +130,11 @@ def blstm_forward(params, x: jnp.ndarray, lengths: jnp.ndarray,
               (direction index 0 = fwd, 1 = bwd, matching torch's layout).
       compute_dtype: dtype fed to the MXU (see _lstm_scan); outputs and
               states are float32 either way.
+      use_pallas: run the recurrence as the Pallas full-sequence kernel
+              (ops/lstm_pallas.py — weights VMEM-resident across all steps,
+              auto-pipelined xw streaming, hand-written VJP). Default: on
+              when compute_dtype is bfloat16 and the backend is TPU; the
+              lax.scan path remains the float32 / CPU implementation.
 
     Returns (out, (h_n, c_n)):
       out: (B, T, 2H) with zeros at padded steps (pad_packed semantics);
@@ -139,6 +145,10 @@ def blstm_forward(params, x: jnp.ndarray, lengths: jnp.ndarray,
     B, T = x.shape[0], x.shape[1]
     mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(x.dtype)
     mask_tb = mask.T[:, :, None]  # (T, B, 1)
+
+    if use_pallas is None:
+        use_pallas = (compute_dtype == jnp.bfloat16
+                      and jax.default_backend() == "tpu")
 
     out = x
     h_finals, c_finals = [], []
@@ -156,13 +166,19 @@ def blstm_forward(params, x: jnp.ndarray, lengths: jnp.ndarray,
                        preferred_element_type=jnp.float32) + pf["b"]
         xw_b = jnp.dot(x_rev, pb["w_ih"].astype(compute_dtype),
                        preferred_element_type=jnp.float32) + pb["b"]
-        # (T, 2, B, 4H), streamed through the scan in compute_dtype
+        # (T, 2, B, 4H), streamed through the recurrence in compute_dtype
         xw = jnp.stack([xw_f, xw_b], axis=0).transpose(2, 0, 1, 3)
         xw = xw.astype(compute_dtype)
         w_hh = jnp.stack([pf["w_hh"], pb["w_hh"]])  # (2, H, 4H)
 
-        ys, ((hf, hb), (cf, cb)) = _lstm_scan(
-            xw, mask_scan, w_hh, h0[layer_idx], c0[layer_idx], compute_dtype)
+        if use_pallas:
+            from ..ops.lstm_pallas import lstm_seq
+            ys, (hf, hb), (cf, cb) = lstm_seq(
+                xw, w_hh.astype(compute_dtype), h0[layer_idx], c0[layer_idx],
+                lengths, jnp.bfloat16)
+        else:
+            ys, ((hf, hb), (cf, cb)) = _lstm_scan(
+                xw, mask_scan, w_hh, h0[layer_idx], c0[layer_idx], compute_dtype)
         y_fwd = ys[:, 0].transpose(1, 0, 2)
         y_bwd = _reverse_within_length(
             ys[:, 1].transpose(1, 0, 2), lengths) * mask[:, :, None]

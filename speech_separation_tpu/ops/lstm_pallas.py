@@ -1,0 +1,309 @@
+"""Pallas TPU kernel: full-sequence LSTM recurrence with custom VJP.
+
+Why a kernel: the lax.scan recurrence is the training hot spot (SURVEY.md §7
+hard part 3). Under XLA's while-loop, every step re-streams the recurrent
+weights and the precomputed gate inputs HBM->VMEM with no cross-step
+residency, and the (B, H) x (H, 4H) per-step matmul runs far below the
+large-matmul roofline. This kernel runs the whole T-step recurrence as ONE
+pallas_call with grid=(T,):
+
+- the recurrent weights sit in VMEM for the entire sequence (constant
+  index map — loaded once, ~5.8 MB in bf16 for both directions);
+- the per-step gate inputs xw stream through the automatic grid pipeline
+  (double-buffered DMA overlapped with compute), in bf16;
+- the hidden/cell state lives in VMEM scratch, float32, persisting across
+  grid steps — it never touches HBM until the final step;
+- both directions are processed in one kernel (leading axis D), each with
+  its own weights, so one pallas_call per layer covers the whole BLSTM
+  recurrence.
+
+Masking reproduces packed-sequence semantics exactly like the scan path
+(models/blstm.py): at steps past a row's length the state passes through
+and the output is zero. Masks are prefix masks (padding is always at the
+sequence end), which the backward derivation below relies on.
+
+The backward pass is a second kernel running the time grid in reverse,
+streaming the forward's saved activations (post-activation gates in bf16,
+cell states in f32) and producing pre-activation gate gradients dxw; the
+weight gradients dW_hh = sum_t h_{t-1}^T dgates_t and everything upstream
+of xw are large one-shot XLA matmuls outside the kernel, where the MXU is
+already at its roofline.
+
+Numerics: matmuls take bf16 inputs with float32 accumulation; state and
+gate nonlinearities are float32. This is the compute_dtype='bfloat16'
+execution path; float32 mode keeps the lax.scan implementation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(lengths_ref, h0_ref, c0_ref, xw_ref, w_ref,
+                ys_ref, cs_ref, gates_ref, hlast_ref, clast_ref,
+                h_scr, c_scr):
+    T = pl.num_programs(0)
+    t = pl.program_id(0)
+    D, B, H = h_scr.shape
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = h0_ref[:]
+        c_scr[:] = c0_ref[:]
+
+    # prefix mask: 1.0 while t < length (lengths: (B, 1) int32 in VMEM)
+    m = (lengths_ref[:] > t).astype(jnp.float32)  # (B, 1)
+
+    for d in range(D):  # static unroll over directions
+        h_prev = h_scr[d]
+        c_prev = c_scr[d]
+        gates = xw_ref[0, d].astype(jnp.float32) + jnp.dot(
+            h_prev.astype(w_ref.dtype), w_ref[d],
+            preferred_element_type=jnp.float32)  # (B, 4H)
+        ia = jax.nn.sigmoid(gates[:, :H])
+        fa = jax.nn.sigmoid(gates[:, H:2 * H])
+        ga = jnp.tanh(gates[:, 2 * H:3 * H])
+        oa = jax.nn.sigmoid(gates[:, 3 * H:])
+        c_new = fa * c_prev + ia * ga
+        h_new = oa * jnp.tanh(c_new)
+
+        h_scr[d] = m * h_new + (1.0 - m) * h_prev
+        c_scr[d] = m * c_new + (1.0 - m) * c_prev
+        ys_ref[0, d] = m * h_new
+        cs_ref[0, d] = c_scr[d].astype(cs_ref.dtype)
+        gates_ref[0, d] = jnp.concatenate([ia, fa, ga, oa], axis=1
+                                          ).astype(gates_ref.dtype)
+
+    @pl.when(t == T - 1)
+    def _():
+        hlast_ref[:] = h_scr[:]
+        clast_ref[:] = c_scr[:]
+
+
+def lstm_seq_fwd(xw, w_hh, h0, c0, lengths, interpret=None,
+                 save_dtype=jnp.bfloat16):
+    """Run the full LSTM recurrence.
+
+    Args:
+      xw: (T, D, B, 4H) gate inputs (x @ W_ih + b), any float dtype
+          (streamed in its dtype — pass bf16 to halve HBM traffic).
+      w_hh: (D, H, 4H) recurrent weights (bf16 recommended).
+      h0, c0: (D, B, H) float32.
+      lengths: (B,) int32.
+
+    Returns (ys, cs, gates, h_last, c_last):
+      ys   (T, D, B, H) f32 — masked hidden outputs
+      cs   (T, D, B, H) f32 — cell state sequence (saved for backward)
+      gates (T, D, B, 4H) save_dtype — post-activation (i, f, tanh g, o);
+            bf16 halves the backward's streaming bytes at ~1e-3 relative
+            gradient error, f32 is exact
+      h_last, c_last (D, B, H) f32
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    T, D, B, G = xw.shape
+    H = G // 4
+    lengths2 = lengths.reshape(B, 1).astype(jnp.int32)
+
+    grid = (T,)
+    out_shapes = (
+        jax.ShapeDtypeStruct((T, D, B, H), jnp.float32),   # ys
+        jax.ShapeDtypeStruct((T, D, B, H), save_dtype),    # cs
+        jax.ShapeDtypeStruct((T, D, B, G), save_dtype),    # gates
+        jax.ShapeDtypeStruct((D, B, H), jnp.float32),      # h_last
+        jax.ShapeDtypeStruct((D, B, H), jnp.float32),      # c_last
+    )
+    step_block = lambda i: (i, 0, 0, 0)
+    const3 = lambda i: (0, 0, 0)
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, B, H), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, B, H), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, B, G), step_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, H, G), const3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, D, B, H), step_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, B, H), step_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, B, G), step_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, B, H), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, B, H), const3, memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((D, B, H), jnp.float32),
+            pltpu.VMEM((D, B, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(lengths2, h0, c0, xw, w_hh)
+
+
+# ---------------------------------------------------------------------------
+# backward kernel (time grid reversed)
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(lengths_ref, c0_ref, dhlast_ref, dclast_ref,
+                dys_ref, gates_ref, cs_ref, cs_prev_ref, wT_ref,
+                dxw_ref, dh0_ref, dc0_ref,
+                dh_scr, dc_scr):
+    T = pl.num_programs(0)
+    k = pl.program_id(0)
+    t = T - 1 - k
+    D, B, H = dh_scr.shape
+
+    @pl.when(k == 0)
+    def _():
+        dh_scr[:] = dhlast_ref[:]
+        dc_scr[:] = dclast_ref[:]
+
+    m = (lengths_ref[:] > t).astype(jnp.float32)  # (B, 1)
+    first_step = t == 0
+
+    for d in range(D):
+        dh = dh_scr[d]
+        dc = dc_scr[d]
+        g = gates_ref[0, d].astype(jnp.float32)
+        ia, fa, ga, oa = (g[:, :H], g[:, H:2 * H], g[:, 2 * H:3 * H], g[:, 3 * H:])
+        c_t = cs_ref[0, d].astype(jnp.float32)
+        # c_{t-1}: previous saved state, or c0 at the first step
+        c_prev = jnp.where(first_step, c0_ref[d],
+                           cs_prev_ref[0, d].astype(jnp.float32))
+
+        # forward: y_t = m*h_new; h_t = m*h_new + (1-m)*h_{t-1}
+        dh_new = m * (dh + dys_ref[0, d])
+        tanh_c = jnp.tanh(c_t)  # == tanh(c_new) wherever m == 1
+        dc_new = m * dc + dh_new * oa * (1.0 - tanh_c * tanh_c)
+
+        di = dc_new * ga
+        df = dc_new * c_prev
+        dg = dc_new * ia
+        do = dh_new * tanh_c
+        # pre-activation gradients
+        dgates = jnp.concatenate([
+            di * ia * (1.0 - ia),
+            df * fa * (1.0 - fa),
+            dg * (1.0 - ga * ga),
+            do * oa * (1.0 - oa),
+        ], axis=1)  # (B, 4H) — zero at masked steps since dh_new/dc_new are
+
+        dxw_ref[0, d] = dgates.astype(dxw_ref.dtype)
+        dh_scr[d] = (1.0 - m) * dh + jnp.dot(
+            dgates.astype(wT_ref.dtype), wT_ref[d],
+            preferred_element_type=jnp.float32)
+        dc_scr[d] = (1.0 - m) * dc + dc_new * fa
+
+    @pl.when(k == T - 1)
+    def _():
+        dh0_ref[:] = dh_scr[:]
+        dc0_ref[:] = dc_scr[:]
+
+
+def lstm_seq_bwd(w_hh, c0, lengths, cs, gates, dys, dh_last, dc_last,
+                 interpret=None, save_dtype=jnp.bfloat16):
+    """Reverse-time gradient kernel.
+    Returns (dxw (T,D,B,4H) save_dtype, dh0, dc0)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    T, D, B, G = gates.shape
+    H = G // 4
+    lengths2 = lengths.reshape(B, 1).astype(jnp.int32)
+    wT = jnp.swapaxes(w_hh, 1, 2)  # (D, 4H, H)
+
+    rev = lambda k: (T - 1 - k, 0, 0, 0)
+    # c_{t-1} block: clamp at 0; the kernel switches to c0 when t == 0
+    rev_prev = lambda k: (jnp.maximum(T - 2 - k, 0), 0, 0, 0)
+    const3 = lambda k: (0, 0, 0)
+
+    return pl.pallas_call(
+        _bwd_kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((B, 1), lambda k: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, B, H), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, B, H), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, B, H), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, B, G), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, B, H), rev_prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, G, H), const3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, D, B, G), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, B, H), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, B, H), const3, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, D, B, G), save_dtype),
+            jax.ShapeDtypeStruct((D, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((D, B, H), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((D, B, H), jnp.float32),
+            pltpu.VMEM((D, B, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(lengths2, c0, dh_last, dc_last, dys, gates, cs, cs, wT)
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP wrapper
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def lstm_seq(xw, w_hh, h0, c0, lengths, save_dtype=jnp.bfloat16):
+    """Differentiable full-sequence LSTM recurrence (Pallas).
+
+    Returns (ys (T,D,B,H) f32, h_last (D,B,H), c_last (D,B,H)).
+    Gradients flow to xw, w_hh, h0, c0 (not lengths). save_dtype controls
+    the saved-activation precision (and thus the backward's exactness).
+    """
+    ys, cs, gates, h_last, c_last = lstm_seq_fwd(xw, w_hh, h0, c0, lengths,
+                                                 save_dtype=save_dtype)
+    return ys, h_last, c_last
+
+
+def _lstm_seq_fwd_rule(xw, w_hh, h0, c0, lengths, save_dtype):
+    ys, cs, gates, h_last, c_last = lstm_seq_fwd(xw, w_hh, h0, c0, lengths,
+                                                 save_dtype=save_dtype)
+    # zero-size carrier records xw's dtype for the cotangent cast
+    xw_dtype_probe = jnp.zeros((0,), xw.dtype)
+    return (ys, h_last, c_last), (xw_dtype_probe, w_hh, h0, c0, lengths, ys, cs, gates)
+
+
+def _lstm_seq_bwd_rule(save_dtype, res, cotangents):
+    xw_dtype_probe, w_hh, h0, c0, lengths, ys, cs, gates = res
+    xw_dtype = xw_dtype_probe.dtype
+    dys, dh_last, dc_last = cotangents
+    dxw, dh0, dc0 = lstm_seq_bwd(w_hh, c0, lengths, cs, gates,
+                                 dys, dh_last, dc_last,
+                                 save_dtype=save_dtype)
+    # dW_hh = sum_t h_{t-1}^T dgates_t. ys stores m*h_new which differs from
+    # the true carried h_{t-1} only at masked steps — where dgates is zero —
+    # so the shifted ys (with h0 in front) is a valid h_{t-1} sequence.
+    h_prev = jnp.concatenate([h0[None], ys[:-1]], axis=0)  # (T, D, B, H)
+    dw_hh = jnp.einsum("tdbh,tdbg->dhg",
+                       h_prev.astype(save_dtype),
+                       dxw.astype(save_dtype),
+                       preferred_element_type=jnp.float32).astype(w_hh.dtype)
+    return dxw.astype(xw_dtype), dw_hh, dh0, dc0, None
+
+
+lstm_seq.defvjp(_lstm_seq_fwd_rule, _lstm_seq_bwd_rule)

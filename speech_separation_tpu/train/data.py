@@ -40,19 +40,48 @@ def _round_up(x: int, m: int) -> int:
 
 
 class FeatureDataset:
-    """Indexable view over a feats_train.scp / feats_test.scp file."""
+    """Indexable view over a feats_train.scp / feats_test.scp file.
+
+    When the data dir carries ``utt2num_frames`` (written by this
+    framework's extractor) and the native loader is available, batches are
+    assembled by the C++ runtime decompressing each npz member directly
+    into the padded batch buffer (no intermediate arrays, no Python inner
+    loop) — see utils/native.py / native/sepio.cpp.
+    """
 
     def __init__(self, data_dir: str, kind: str = "train"):
+        import os
         self.kind = kind
         self.entries = read_scp(f"{data_dir}/feats_{kind}.scp")
         if not self.entries:
             raise ValueError(f"empty feats_{kind}.scp in {data_dir}")
+        self.num_frames = None
+        nf_path = os.path.join(data_dir, "utt2num_frames")
+        if os.path.isfile(nf_path):
+            nf = {k: int(v) for k, v in read_scp(nf_path)}
+            if all(utt in nf for utt, _ in self.entries):
+                self.num_frames = np.asarray(
+                    [nf[utt] for utt, _ in self.entries], np.int32)
+        self.num_spks = None
+        ns_path = os.path.join(data_dir, "utt2num_spk")
+        if os.path.isfile(ns_path):
+            ns = {k: int(v) for k, v in read_scp(ns_path)}
+            if all(utt in ns for utt, _ in self.entries):
+                self.num_spks = np.asarray(
+                    [ns[utt] for utt, _ in self.entries], np.int32)
+        self._feat_dim = None
 
     def __len__(self):
         return len(self.entries)
 
     def utt_id(self, idx: int) -> str:
         return self.entries[idx][0]
+
+    @property
+    def feat_dim(self) -> int:
+        if self._feat_dim is None:
+            self._feat_dim = int(np.load(self.entries[0][1])["mix"].shape[0])
+        return self._feat_dim
 
     def load(self, idx: int) -> dict:
         """Returns {'mix': (T, F) float32, 'sources': (S, T, F) float32}
@@ -143,11 +172,67 @@ def make_device_batch(samples: list[dict], plan: BatchPlan,
     return out
 
 
+def collate_native(dataset: FeatureDataset, idxs: list[int],
+                   plan: BatchPlan) -> dict:
+    """Collate a batch by decompressing npz members straight into the padded
+    batch buffers via the native runtime. Requires utt2num_frames."""
+    from ..utils import native
+
+    B = plan.batch_size
+    F = dataset.feat_dim
+    lengths_true = [int(dataset.num_frames[i]) for i in idxs]
+    T = _round_up(max(lengths_true), plan.time_pad_multiple)
+    train = dataset.kind == "train"
+    S = 0
+    if train:
+        S = max(1, max(int(dataset.num_spks[i]) for i in idxs)
+                if dataset.num_spks is not None else 1)
+
+    mix = np.zeros((B, T, F), np.float32)
+    sources = np.zeros((B, S, T, F), np.float32) if train else None
+    lengths = np.zeros((B,), np.int32)
+    row_mask = np.zeros((B,), np.float32)
+    names = []
+    for row, i in enumerate(idxs):
+        utt, path = dataset.entries[i]
+        # mode 1 takes |.| of complex test spectra and passes f32 through
+        native.load_npz_2d_transposed(path, "mix", mix[row],
+                                      mode=0 if train else 1)
+        lengths[row] = lengths_true[row]
+        row_mask[row] = 1.0
+        names.append(utt)
+        if train:
+            n_spk = (int(dataset.num_spks[i])
+                     if dataset.num_spks is not None else S)
+            for s in range(n_spk):
+                try:
+                    native.load_npz_2d_transposed(path, f"s{s + 1}",
+                                                  sources[row, s], mode=0)
+                except IOError:
+                    if s == 0:  # degenerate single-source: source1 = mix
+                        sources[row, 0] = mix[row]
+                    else:
+                        raise
+    out = {"mix": mix, "lengths": lengths, "row_mask": row_mask, "names": names}
+    if train:
+        out["sources"] = sources
+    return out
+
+
+def _collate(dataset: FeatureDataset, idxs: list[int], plan: BatchPlan) -> dict:
+    from ..utils import native
+    if dataset.num_frames is not None and native.available():
+        return collate_native(dataset, idxs, plan)
+    return make_device_batch([dataset.load(i) for i in idxs], plan)
+
+
 def iter_batches(dataset: FeatureDataset, plan: BatchPlan, epoch: int,
                  shuffle: bool = True, prefetch: int = 2,
                  lengths: np.ndarray | None = None,
                  num_spks: np.ndarray | None = None):
     """Yield collated batches, loading + collating in a background thread."""
+    if lengths is None:
+        lengths = dataset.num_frames
     batches = plan_batches(dataset, plan, epoch, lengths=lengths,
                            num_spks=num_spks, shuffle=shuffle)
     q: queue.Queue = queue.Queue(maxsize=prefetch)
@@ -156,8 +241,7 @@ def iter_batches(dataset: FeatureDataset, plan: BatchPlan, epoch: int,
     def producer():
         try:
             for idxs in batches:
-                samples = [dataset.load(i) for i in idxs]
-                q.put(make_device_batch(samples, plan))
+                q.put(_collate(dataset, idxs, plan))
         except Exception as e:  # surface loader errors on the consumer side
             q.put(e)
             return

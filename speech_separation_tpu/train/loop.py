@@ -144,8 +144,12 @@ def train(data_dir: str, exp_dir: str, loop_cfg: TrainLoopConfig,
                      seed=loop_cfg.seed)
     num_spks = None
     if plan.group_by_num_spk:
-        num_spks = np.asarray([s["sources"].shape[0] if "sources" in s else 1
-                               for s in map(dataset.load, range(len(dataset)))])
+        if dataset.num_spks is not None:
+            num_spks = dataset.num_spks
+        else:  # legacy feature dirs without utt2num_spk: inspect the npz
+            num_spks = np.asarray(
+                [s["sources"].shape[0] if "sources" in s else 1
+                 for s in map(dataset.load, range(len(dataset)))])
 
     mesh = get_mesh() if use_mesh and len(jax.devices()) > 1 else None
 
