@@ -23,7 +23,7 @@ import time
 import numpy as np
 
 
-def bench_train_step(B=100, T=384, iters=20):
+def bench_train_step(B=100, T=384, iters=20, compute_dtype="bfloat16"):
     import jax
     import jax.numpy as jnp
     from speech_separation_tpu.models import upit
@@ -31,7 +31,7 @@ def bench_train_step(B=100, T=384, iters=20):
                                                   make_optimizer,
                                                   make_update_step)
 
-    cfg = upit.Config()
+    cfg = upit.Config(compute_dtype=compute_dtype)
     params, state = upit.init(jax.random.PRNGKey(0), cfg)
     optimizer = make_optimizer(TrainLoopConfig())
     opt_state = optimizer.init(params)
@@ -106,19 +106,21 @@ def main():
         with open(baseline_path) as f:
             baseline_utts = json.load(f).get("utts_per_sec")
 
-    train_res = bench_train_step()
+    train_res = bench_train_step()  # bf16 + Pallas LSTM (the perf path)
+    train_f32 = bench_train_step(iters=10, compute_dtype="float32")
     dsp_res = bench_dsp_bandwidth()
 
     import jax
     value = train_res["utts_per_sec"]
     out = {
-        "metric": "uPIT train throughput (B=100, T=384, 2x600 BLSTM, full step)",
+        "metric": "uPIT train throughput (B=100, T=384, 2x600 BLSTM, full step, bf16+pallas)",
         "value": round(value, 2),
         "unit": "utts/sec/chip",
         "vs_baseline": round(value / baseline_utts, 2) if baseline_utts else None,
         "detail": {
             "step_ms": round(train_res["step_ms"], 2),
             "compile_s": round(train_res["compile_s"], 1),
+            "f32_parity_path_utts_per_sec": round(train_f32["utts_per_sec"], 2),
             "baseline_utts_per_sec": baseline_utts,
             "baseline_hw": "torch-CPU (reference semantics; no GPU here, no published numbers)",
             "dsp_roundtrip_gb_per_sec": round(dsp_res["gb_per_sec"], 2),

@@ -109,7 +109,8 @@ def cmd_train(args):
         time_pad_multiple=args.time_pad_multiple,
         bucket_by_length=args.bucket_by_length,
         reference_resume=args.reference_resume,
-        make_plots=not args.no_plots)
+        make_plots=not args.no_plots,
+        profile_dir=args.profile_dir)
     train(args.data_dir, args.exp_dir, loop_cfg,
           cv_data_dir=args.cv_data_dir,
           model_kwargs=read_model_config(args.model_config))
@@ -127,6 +128,29 @@ def cmd_reconstruct(args):
     from ..eval import reconstruct_sources
     reconstruct_sources(args.data_dir, args.exp_dir, hop=args.step_size,
                         sample_rate=args.sample_rate)
+
+
+def cmd_separate(args):
+    """Fused waveform->waveforms separation (the serving path)."""
+    from ..dsp import STFTConfig
+    from ..eval.pipeline import SeparationPipeline
+    from ..utils.audio import load_wav, write_wav_int16
+
+    cfg = STFTConfig(n_fft=args.fft_dim, hop=args.step_size,
+                     sample_rate=args.sample_rate)
+    pipe = SeparationPipeline(args.model,
+                              model_kwargs=read_model_config(args.model_config),
+                              stft_cfg=cfg, batch_size=args.batch_size,
+                              num_spk=args.num_spk or None)
+    signals = [load_wav(p, sr=cfg.sample_rate)[0] for p in args.wavs]
+    outs = pipe.separate(signals)
+    os.makedirs(args.out_dir, exist_ok=True)
+    for path, ests in zip(args.wavs, outs):
+        stem = os.path.splitext(os.path.basename(path))[0]
+        for s, est in enumerate(ests):
+            out_path = os.path.join(args.out_dir, f"{stem}_s{s + 1}.wav")
+            write_wav_int16(out_path, cfg.sample_rate, est)
+    print(f"separated {len(signals)} files -> {args.out_dir}")
 
 
 def cmd_score(args):
@@ -306,6 +330,8 @@ def _add_train(p):
     p.add_argument("--reference-resume", action="store_true",
                    help="drop optimizer state on resume, like the reference")
     p.add_argument("--no-plots", action="store_true")
+    p.add_argument("--profile-dir", default="",
+                   help="write a device trace of the first few steps here")
 
 
 def build_parser():
@@ -355,6 +381,18 @@ def build_parser():
     p.add_argument("--step-size", type=int, default=128)
     p.add_argument("--sample-rate", type=int, default=8000)
     p.set_defaults(fn=cmd_reconstruct)
+
+    p = sub.add_parser("separate", help="fused waveform->waveforms separation")
+    p.add_argument("model")
+    p.add_argument("out_dir")
+    p.add_argument("wavs", nargs="+")
+    p.add_argument("--model-config", default="")
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--num-spk", type=int, default=0)
+    p.add_argument("--fft-dim", type=int, default=512)
+    p.add_argument("--step-size", type=int, default=128)
+    p.add_argument("--sample-rate", type=int, default=8000)
+    p.set_defaults(fn=cmd_separate)
 
     p = sub.add_parser("score", help="BSS-eval + SI-SDR scoring")
     p.add_argument("data_dir")

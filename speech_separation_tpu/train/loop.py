@@ -60,6 +60,10 @@ class TrainLoopConfig:
     bucket_by_length: bool = False
     reference_resume: bool = False  # drop optimizer state on resume, like the reference
     make_plots: bool = True
+    # observability (the reference has none — SURVEY.md §5): device trace of
+    # the first profile_steps batches written to profile_dir
+    profile_dir: str = ""
+    profile_steps: int = 5
 
 
 def make_optimizer(cfg: TrainLoopConfig):
@@ -190,19 +194,40 @@ def train(data_dir: str, exp_dir: str, loop_cfg: TrainLoopConfig,
     lossF = open(loss_file, "a")
     cv_lossF = open(cv_loss_file, "a") if cv_dataset else None
 
+    profiling = bool(loop_cfg.profile_dir)
     utts_seen = 0
     t_start = time.time()
     for epoch in range(loop_cfg.start_epoch, loop_cfg.num_epochs):
         epoch_loss, epoch_norm = 0.0, 0.0
-        for batch in iter_batches(dataset, plan, epoch, num_spks=num_spks):
+        epoch_utts = 0
+        t_epoch = time.time()
+        for i_batch, batch in enumerate(
+                iter_batches(dataset, plan, epoch, num_spks=num_spks)):
+            if profiling and i_batch == 1:  # skip the compile batch
+                try:
+                    jax.profiler.start_trace(loop_cfg.profile_dir)
+                except Exception as e:
+                    log(f"warning: profiler unavailable: {e}")
+                    profiling = False
             key, step_key = jax.random.split(key)
             dev_batch = _device_put_batch(batch, mesh)
             params, state, opt_state, loss, norm = update_step(
                 params, state, opt_state, dev_batch, step_key)
             loss, norm = float(loss), float(norm)
+            if profiling and i_batch == loop_cfg.profile_steps:
+                try:
+                    jax.profiler.stop_trace()
+                    log(f"profiler trace written to {loop_cfg.profile_dir}")
+                except Exception:
+                    pass
+                profiling = False
             epoch_loss += loss * norm
             epoch_norm += norm
-            utts_seen += int(batch["row_mask"].sum())
+            epoch_utts += int(batch["row_mask"].sum())
+        utts_seen += epoch_utts
+        epoch_wall = time.time() - t_epoch
+        log(f"epoch {epoch + 1:03d} wall: {epoch_wall:.1f}s "
+            f"({epoch_utts / max(epoch_wall, 1e-9):.1f} utts/sec)")
 
         if cv_dataset and (epoch + 1) % loop_cfg.cv_every == 0:
             cv_loss_sum, cv_norm_sum = 0.0, 0.0
