@@ -110,7 +110,8 @@ def cmd_train(args):
         bucket_by_length=args.bucket_by_length,
         reference_resume=args.reference_resume,
         make_plots=not args.no_plots,
-        profile_dir=args.profile_dir)
+        profile_dir=args.profile_dir,
+        train_copy_location=args.train_copy_location)
     train(args.data_dir, args.exp_dir, loop_cfg,
           cv_data_dir=args.cv_data_dir,
           model_kwargs=read_model_config(args.model_config))
@@ -332,6 +333,8 @@ def _add_train(p):
     p.add_argument("--no-plots", action="store_true")
     p.add_argument("--profile-dir", default="",
                    help="write a device trace of the first few steps here")
+    p.add_argument("--train-copy-location", default="",
+                   help="stage training features here first (reference flag)")
 
 
 def build_parser():
@@ -381,6 +384,15 @@ def build_parser():
     p.add_argument("--step-size", type=int, default=128)
     p.add_argument("--sample-rate", type=int, default=8000)
     p.set_defaults(fn=cmd_reconstruct)
+
+    p = sub.add_parser("stage-data", help="copy scp-referenced files to fast local storage")
+    p.add_argument("scp")
+    p.add_argument("target_dir")
+    p.add_argument("--bwlimit", type=float, default=0,
+                   help="KB/s cap (reference rsync --bwlimit)")
+    p.set_defaults(fn=lambda a: __import__(
+        "speech_separation_tpu.datadir.stage", fromlist=["stage_scp_data"]
+    ).stage_scp_data(a.scp, a.target_dir, a.bwlimit or None))
 
     p = sub.add_parser("separate", help="fused waveform->waveforms separation")
     p.add_argument("model")

@@ -49,12 +49,21 @@ class FeatureDataset:
     loop) — see utils/native.py / native/sepio.cpp.
     """
 
-    def __init__(self, data_dir: str, kind: str = "train"):
+    def __init__(self, data_dir: str, kind: str = "train",
+                 copy_location: str = ""):
         import os
         self.kind = kind
         self.entries = read_scp(f"{data_dir}/feats_{kind}.scp")
         if not self.entries:
             raise ValueError(f"empty feats_{kind}.scp in {data_dir}")
+        if copy_location:
+            # reference TrainSet staging (archs/uPIT.py:56-58): copy the
+            # feature files to fast local storage and read from there
+            from ..datadir.stage import stage_scp_data
+            mapping = stage_scp_data(f"{data_dir}/feats_{kind}.scp",
+                                     copy_location)
+            self.entries = [(utt, mapping.get(path, path))
+                            for utt, path in self.entries]
         self.num_frames = None
         nf_path = os.path.join(data_dir, "utt2num_frames")
         if os.path.isfile(nf_path):

@@ -60,6 +60,9 @@ class TrainLoopConfig:
     bucket_by_length: bool = False
     reference_resume: bool = False  # drop optimizer state on resume, like the reference
     make_plots: bool = True
+    # stage training features to fast local storage first
+    # (reference --train-copy-location, archs/uPIT.py:56-58)
+    train_copy_location: str = ""
     # observability (the reference has none — SURVEY.md §5): device trace of
     # the first profile_steps batches written to profile_dir
     profile_dir: str = ""
@@ -139,7 +142,8 @@ def train(data_dir: str, exp_dir: str, loop_cfg: TrainLoopConfig,
     loss_file = os.path.join(stats_dir, "train_loss.txt")
     cv_loss_file = os.path.join(stats_dir, "cv_loss.txt")
 
-    dataset = FeatureDataset(data_dir, "train")
+    dataset = FeatureDataset(data_dir, "train",
+                             copy_location=loop_cfg.train_copy_location)
     cv_dataset = FeatureDataset(cv_data_dir, "train") if cv_data_dir else None
     plan = BatchPlan(batch_size=loop_cfg.batch_size,
                      time_pad_multiple=loop_cfg.time_pad_multiple,
