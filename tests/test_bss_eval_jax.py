@@ -1,0 +1,60 @@
+"""Device BSS-eval vs the numpy/float64 implementation."""
+
+import numpy as np
+import pytest
+
+from speech_separation_tpu.eval.bss_eval import bss_eval_sources
+from speech_separation_tpu.eval.bss_eval_jax import bss_eval_sources_batch
+
+
+def _mixture_case(seed, L=4000, alpha=0.1):
+    rng = np.random.default_rng(seed)
+    sources = rng.standard_normal((2, L))
+    est0 = sources[0] + alpha * sources[1]
+    est1 = sources[1] + alpha * sources[0]
+    return sources, np.stack([est0, est1])
+
+
+@pytest.mark.parametrize("flen", [16, 64])
+def test_batch_matches_numpy(flen):
+    cases = [_mixture_case(s) for s in range(3)]
+    refs = np.stack([c[0] for c in cases]).astype(np.float32)
+    ests = np.stack([c[1] for c in cases]).astype(np.float32)
+
+    sdr, sir, sar, perm = bss_eval_sources_batch(refs, ests, flen=flen)
+    for b in range(len(cases)):
+        sdr_np, sir_np, sar_np, perm_np = bss_eval_sources(
+            refs[b], ests[b], flen=flen)
+        np.testing.assert_array_equal(perm[b], perm_np)
+        np.testing.assert_allclose(sdr[b], sdr_np, atol=0.05)
+        np.testing.assert_allclose(sir[b], sir_np, atol=0.05)
+        # SAR of a near-subspace estimate is huge and ill-conditioned in
+        # f32; just require it to agree that artifacts are negligible
+        assert np.all(sar[b] > 40.0) == np.all(sar_np > 40.0)
+
+
+def test_batch_zero_padding_exact():
+    """Padding a shorter utterance with zeros must not change its scores."""
+    sources, ests = _mixture_case(10, L=3000)
+    flen = 32
+    refs_p = np.zeros((1, 2, 4000), np.float32)
+    ests_p = np.zeros((1, 2, 4000), np.float32)
+    refs_p[0, :, :3000] = sources
+    ests_p[0, :, :3000] = ests
+
+    sdr_p, sir_p, _, _ = bss_eval_sources_batch(refs_p, ests_p, flen=flen)
+    sdr_u, sir_u, _, _ = bss_eval_sources_batch(
+        sources[None].astype(np.float32), ests[None].astype(np.float32),
+        flen=flen)
+    np.testing.assert_allclose(sdr_p, sdr_u, atol=0.02)
+    np.testing.assert_allclose(sir_p, sir_u, atol=0.02)
+
+
+def test_batch_permutation_recovery():
+    sources, _ = _mixture_case(11)
+    swapped = sources[::-1].copy()
+    sdr, sir, sar, perm = bss_eval_sources_batch(
+        sources[None].astype(np.float32), swapped[None].astype(np.float32),
+        flen=32)
+    assert perm[0].tolist() == [1, 0]
+    assert np.all(sdr[0] > 60.0)
