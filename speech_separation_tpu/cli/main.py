@@ -66,9 +66,13 @@ def cmd_split(args):
 
 
 def _extract(data_dir, data_type, feat_dir, args):
+    from functools import partial
     from ..datadir import validate_data_dir, split_data_dir
     from ..dsp import STFTConfig
-    from ..dsp.extract import extract_features, merge_shard_outputs
+    from ..dsp import extract as _ex
+    extract_features = partial(_ex.extract_features,
+                               compress=not getattr(args, "no_compress", False))
+    merge_shard_outputs = _ex.merge_shard_outputs
     cfg = STFTConfig(n_fft=args.fft_dim, hop=args.step_size,
                      sample_rate=args.sample_rate)
     nj = getattr(args, "nj", 1)
@@ -316,6 +320,9 @@ def _add_stft(p):
                    help="number of shards (reference array-job compat)")
     p.add_argument("--mj", type=int, default=1,
                    help="max concurrent worker processes (1 = in-process)")
+    p.add_argument("--no-compress", action="store_true",
+                   help="write stored (uncompressed) npz features — "
+                        "removes zlib inflate from the training input path")
 
 
 def _add_train(p):

@@ -87,8 +87,14 @@ class _BatchedSTFT:
 
 def extract_features(data_dir: str, data_type: str, feat_dir: str,
                      cfg: STFTConfig = STFTConfig(),
-                     job_suffix: str = "", log=print) -> None:
-    """Extract features for one (possibly sharded) data dir."""
+                     job_suffix: str = "", compress: bool = True,
+                     log=print) -> None:
+    """Extract features for one (possibly sharded) data dir.
+
+    compress=False writes plain (stored) npz — byte-identical layout minus
+    DEFLATE. On hosts where the CPU is scarce, training throughput is bound
+    by zlib inflate in the input pipeline; uncompressed features read at
+    memcpy speed (both the numpy and the native loader handle either)."""
     assert data_type in ("train", "test")
     os.makedirs(feat_dir, exist_ok=True)
 
@@ -149,7 +155,7 @@ def extract_features(data_dir: str, data_type: str, feat_dir: str,
                     re + 1j * im, dtype=np.complex64)
             if key == "mix":
                 n_frames_mix = file_dict[key].shape[1]
-        np.savez_compressed(out_path, **file_dict)
+        (np.savez_compressed if compress else np.savez)(out_path, **file_dict)
         feat_lines.append((seg_id, out_path + ".npz"))
         spk_lines.append((seg_id, str(num_spk)))
         frame_lines.append((seg_id, str(n_frames_mix)))

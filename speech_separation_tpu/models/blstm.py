@@ -119,7 +119,8 @@ def _reverse_within_length(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
 def blstm_forward(params, x: jnp.ndarray, lengths: jnp.ndarray,
                   h0: jnp.ndarray, c0: jnp.ndarray,
                   compute_dtype=jnp.float32,
-                  use_pallas: bool | None = None) -> jnp.ndarray:
+                  use_pallas: bool | None = None,
+                  save_activations: bool = True) -> jnp.ndarray:
     """Multi-layer bidirectional LSTM.
 
     Args:
@@ -172,10 +173,15 @@ def blstm_forward(params, x: jnp.ndarray, lengths: jnp.ndarray,
         w_hh = jnp.stack([pf["w_hh"], pb["w_hh"]])  # (2, H, 4H)
 
         if use_pallas:
-            from ..ops.lstm_pallas import lstm_seq
-            ys, (hf, hb), (cf, cb) = lstm_seq(
-                xw, w_hh.astype(compute_dtype), h0[layer_idx], c0[layer_idx],
-                lengths, jnp.bfloat16)
+            from ..ops.lstm_pallas import lstm_seq, lstm_seq_infer
+            if save_activations:
+                ys, (hf, hb), (cf, cb) = lstm_seq(
+                    xw, w_hh.astype(compute_dtype), h0[layer_idx],
+                    c0[layer_idx], lengths, jnp.bfloat16)
+            else:  # inference: no backward residuals, less HBM traffic
+                ys, (hf, hb), (cf, cb) = lstm_seq_infer(
+                    xw, w_hh.astype(compute_dtype), h0[layer_idx],
+                    c0[layer_idx], lengths)
         else:
             ys, ((hf, hb), (cf, cb)) = _lstm_scan(
                 xw, mask_scan, w_hh, h0[layer_idx], c0[layer_idx], compute_dtype)

@@ -89,7 +89,8 @@ def _forward_pass(cfg: Config, params, bn_state, combo, lengths, row_mask,
     """One extraction pass. Returns (mask (B,T,F), new_bn_state, new_hidden)."""
     h0, c0 = hidden
     y, hidden_out = blstm_forward(params["blstm"], combo, lengths, h0, c0,
-                                  compute_dtype=cfg.mxu_dtype)
+                                  compute_dtype=cfg.mxu_dtype,
+                                  save_activations=train)
     y, bn_state = batchnorm_apply(params["bn"], bn_state, y, row_mask, train)
     y = jnp.dot(y.astype(cfg.mxu_dtype), params["lin"]["w"].astype(cfg.mxu_dtype),
                 preferred_element_type=jnp.float32) + params["lin"]["b"]

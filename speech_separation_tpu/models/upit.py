@@ -121,7 +121,8 @@ def forward(cfg: Config, params, state, x, lengths, row_mask, rng, train: bool):
     else:
         h0, c0 = random_hidden(rng, cfg.num_layers, B, cfg.hidden)
     y, _ = blstm_forward(params["blstm"], x, lengths, h0, c0,
-                         compute_dtype=cfg.mxu_dtype)
+                         compute_dtype=cfg.mxu_dtype,
+                         save_activations=train)
     y, bn_state = batchnorm_apply(params["bn"], state["bn"], y, row_mask, train)
     y = jnp.dot(y.astype(cfg.mxu_dtype), params["lin"]["w"].astype(cfg.mxu_dtype),
                 preferred_element_type=jnp.float32) + params["lin"]["b"]

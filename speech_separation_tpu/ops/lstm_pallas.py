@@ -155,6 +155,81 @@ def lstm_seq_fwd(xw, w_hh, h0, c0, lengths, interpret=None,
     )(lengths2, h0, c0, xw, w_hh)
 
 
+def _fwd_infer_kernel(lengths_ref, h0_ref, c0_ref, xw_ref, w_ref,
+                      ys_ref, hlast_ref, clast_ref, h_scr, c_scr):
+    """Forward without saved activations — the serving path (writes only
+    the hidden outputs; ~2.5x less HBM write traffic than the training
+    forward)."""
+    T = pl.num_programs(0)
+    t = pl.program_id(0)
+    D, B, H = h_scr.shape
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = h0_ref[:]
+        c_scr[:] = c0_ref[:]
+
+    m = (lengths_ref[:] > t).astype(jnp.float32)
+
+    for d in range(D):
+        h_prev = h_scr[d]
+        c_prev = c_scr[d]
+        gates = xw_ref[0, d].astype(jnp.float32) + jnp.dot(
+            h_prev.astype(w_ref.dtype), w_ref[d],
+            preferred_element_type=jnp.float32)
+        ia = jax.nn.sigmoid(gates[:, :H])
+        fa = jax.nn.sigmoid(gates[:, H:2 * H])
+        ga = jnp.tanh(gates[:, 2 * H:3 * H])
+        oa = jax.nn.sigmoid(gates[:, 3 * H:])
+        c_new = fa * c_prev + ia * ga
+        h_new = oa * jnp.tanh(c_new)
+        h_scr[d] = m * h_new + (1.0 - m) * h_prev
+        c_scr[d] = m * c_new + (1.0 - m) * c_prev
+        ys_ref[0, d] = m * h_new
+
+    @pl.when(t == T - 1)
+    def _():
+        hlast_ref[:] = h_scr[:]
+        clast_ref[:] = c_scr[:]
+
+
+def lstm_seq_infer(xw, w_hh, h0, c0, lengths, interpret=None):
+    """Inference-only recurrence: returns (ys, h_last, c_last), no VJP."""
+    if interpret is None:
+        interpret = _interpret_default()
+    T, D, B, G = xw.shape
+    H = G // 4
+    lengths2 = lengths.reshape(B, 1).astype(jnp.int32)
+    step_block = lambda i: (i, 0, 0, 0)
+    const3 = lambda i: (0, 0, 0)
+    return pl.pallas_call(
+        _fwd_infer_kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, B, H), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, B, H), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, B, G), step_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, H, G), const3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, D, B, H), step_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, B, H), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, B, H), const3, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, D, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((D, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((D, B, H), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((D, B, H), jnp.float32),
+            pltpu.VMEM((D, B, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(lengths2, h0, c0, xw, w_hh)
+
+
 # ---------------------------------------------------------------------------
 # backward kernel (time grid reversed)
 # ---------------------------------------------------------------------------

@@ -100,3 +100,13 @@ def test_gradient_masked_steps_zero():
     T = xw.shape[0]
     for b, L in enumerate(np.asarray(lengths)):
         assert np.all(dxw[L:, :, b, :] == 0.0), f"row {b}"
+
+
+def test_infer_kernel_matches_training_forward():
+    from speech_separation_tpu.ops.lstm_pallas import lstm_seq_infer
+    xw, w, h0, c0, lengths = _setup(seed=5)
+    ys_t, h_t, c_t = lstm_seq(xw, w, h0, c0, lengths)
+    ys_i, h_i, c_i = lstm_seq_infer(xw, w, h0, c0, lengths)
+    np.testing.assert_allclose(np.asarray(ys_i), np.asarray(ys_t), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h_i), np.asarray(h_t), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c_i), np.asarray(c_t), atol=1e-6)
