@@ -53,6 +53,7 @@ class Config:
     # kept for interface compatibility with key=value model configs.
     num_spk: int = 2
     compute_dtype: str = "float32"  # see upit.Config
+    remat: bool = False             # see upit.Config
 
     @classmethod
     def from_kwargs(cls, **kwargs):
@@ -128,12 +129,17 @@ def loss_fn(cfg: Config, params, state, batch, rng, train: bool):
     hidden = _init_hidden(cfg, rng, B)
     bn_state = state["bn"]
 
+    fwd_pass = _forward_pass
+    if cfg.remat:
+        # args: (cfg, params, bn_state, combo, lengths, row_mask, hidden, train)
+        fwd_pass = jax.checkpoint(_forward_pass, static_argnums=(0, 7))
+
     used = jnp.zeros((B, S), bool)
     total = 0.0
     assignments = []
     masks = []
     for _ in range(S):
-        mask, bn_state, hidden = _forward_pass(
+        mask, bn_state, hidden = fwd_pass(
             cfg, params, bn_state, combo, lengths, row_mask, hidden, train)
         masked = mask * mix
         # per-source error: (B, S)

@@ -54,6 +54,9 @@ class Config:
     # (float32 accumulation; gate/cell math stays float32). "float32" is
     # the bit-faithful default.
     compute_dtype: str = "float32"
+    # rematerialize the forward in the backward pass — trades ~1.3x compute
+    # for O(T) activation memory; for very long utterances / large batches
+    remat: bool = False
 
     @classmethod
     def from_kwargs(cls, **kwargs):
@@ -138,7 +141,11 @@ def loss_fn(cfg: Config, params, state, batch, rng, train: bool):
     lengths, row_mask = batch["lengths"], batch["row_mask"]
     B, T, F = mix.shape
 
-    masks, new_state = forward(cfg, params, state, mix, lengths, row_mask, rng, train)
+    fwd = forward
+    if cfg.remat:
+        # args: (cfg, params, state, x, lengths, row_mask, rng, train)
+        fwd = jax.checkpoint(forward, static_argnums=(0, 7))
+    masks, new_state = fwd(cfg, params, state, mix, lengths, row_mask, rng, train)
     masked = masks.reshape(B, T, cfg.num_spk, F) * mix[:, :, None, :]
     pair = pairwise_mse(masked, sources)
     min_losses, best_perm = permutation_min_loss(pair, cfg.num_spk)
