@@ -15,29 +15,41 @@ from speech_separation_tpu.eval import (generate_masks, reconstruct_sources,
 from speech_separation_tpu.utils.synthetic import make_synthetic_corpus, write_id_list
 
 t_all = time.time()
-print("== corpus ==", flush=True)
-ids_tr = make_synthetic_corpus("corpus/tr", 256, seed=0, min_sec=0.8, max_sec=1.6, prefix="tr")
-ids_cv = make_synthetic_corpus("corpus/cv", 32, seed=1, min_sec=0.8, max_sec=1.6, prefix="cv")
-ids_tt = make_synthetic_corpus("corpus/tt", 32, seed=2, min_sec=0.8, max_sec=1.6, prefix="tt")
-write_id_list("id_lists", "syn_tr", ids_tr)
-write_id_list("id_lists", "syn_cv", ids_cv)
-write_id_list("id_lists", "syn_tt", ids_tt)
-reg = DatasetRegistry({"syn_tr": "corpus/tr", "syn_cv": "corpus/cv", "syn_tt": "corpus/tt"})
-for ds in ("syn_tr", "syn_cv", "syn_tt"):
-    prepare_data_dir(ds, reg)
+if not os.path.isfile("data/syn_tt/feats_test.scp"):
+    print("== corpus ==", flush=True)
+    ids_tr = make_synthetic_corpus("corpus/tr", 256, seed=0, min_sec=0.8, max_sec=1.6, prefix="tr")
+    ids_cv = make_synthetic_corpus("corpus/cv", 32, seed=1, min_sec=0.8, max_sec=1.6, prefix="cv")
+    ids_tt = make_synthetic_corpus("corpus/tt", 32, seed=2, min_sec=0.8, max_sec=1.6, prefix="tt")
+    write_id_list("id_lists", "syn_tr", ids_tr)
+    write_id_list("id_lists", "syn_cv", ids_cv)
+    write_id_list("id_lists", "syn_tt", ids_tt)
+    reg = DatasetRegistry({"syn_tr": "corpus/tr", "syn_cv": "corpus/cv", "syn_tt": "corpus/tt"})
+    for ds in ("syn_tr", "syn_cv", "syn_tt"):
+        prepare_data_dir(ds, reg)
 
-print("== features ==", flush=True)
-cfg = STFTConfig()
-extract_features("data/syn_tr", "train", "feats/syn_tr_train", cfg, compress=False)
-extract_features("data/syn_cv", "train", "feats/syn_cv_train", cfg, compress=False)
-extract_features("data/syn_tt", "test", "feats/syn_tt_test", cfg, compress=False)
+    print("== features ==", flush=True)
+    cfg = STFTConfig()
+    extract_features("data/syn_tr", "train", "feats/syn_tr_train", cfg, compress=False)
+    extract_features("data/syn_cv", "train", "feats/syn_cv_train", cfg, compress=False)
+    extract_features("data/syn_tt", "test", "feats/syn_tt_test", cfg, compress=False)
+
+# resume from the latest intermediate checkpoint (transient device failures
+# through the tunnel are expected; this is what checkpoint/resume is for)
+start_epoch = 0
+int_dir = "exp/uPIT_syn_tr/intermediate_models"
+if os.path.isdir(int_dir):
+    done = [int(f[:3]) for f in os.listdir(int_dir) if f[:3].isdigit()]
+    if done:
+        start_epoch = max(done)
+        print(f"== resuming from epoch {start_epoch} ==", flush=True)
 
 print("== train ==", flush=True)
 mk = {"hidden": "128", "num_layers": "2", "compute_dtype": "bfloat16"}
 t0 = time.time()
 out = train("data/syn_tr", "exp/uPIT_syn_tr",
             TrainLoopConfig(arch="uPIT", batch_size=32, num_epochs=40,
-                            time_pad_multiple=64, seed=0),
+                            time_pad_multiple=64, seed=0,
+                            start_epoch=start_epoch),
             cv_data_dir="data/syn_cv", model_kwargs=mk)
 train_wall = time.time() - t0
 print(f"train wall: {train_wall:.0f}s", flush=True)

@@ -105,7 +105,7 @@ def cmd_extract(args):
 
 
 def cmd_train(args):
-    from ..train.loop import TrainLoopConfig, train
+    from ..train.loop import TrainLoopConfig, train_with_restarts
     loop_cfg = TrainLoopConfig(
         arch=args.arch, batch_size=args.batch_size,
         num_epochs=args.num_epochs, learning_rate=args.learning_rate,
@@ -116,9 +116,10 @@ def cmd_train(args):
         make_plots=not args.no_plots,
         profile_dir=args.profile_dir,
         train_copy_location=args.train_copy_location)
-    train(args.data_dir, args.exp_dir, loop_cfg,
-          cv_data_dir=args.cv_data_dir,
-          model_kwargs=read_model_config(args.model_config))
+    train_with_restarts(args.data_dir, args.exp_dir, loop_cfg,
+                        max_restarts=args.max_restarts,
+                        cv_data_dir=args.cv_data_dir,
+                        model_kwargs=read_model_config(args.model_config))
 
 
 def cmd_eval_masks(args):
@@ -234,7 +235,7 @@ def cmd_run_train(args):
         if getattr(arch_mod, "__file__", None):
             shutil.copy(arch_mod.__file__, os.path.join(exp_dir, "arch.py"))
 
-        from ..train.loop import TrainLoopConfig, train
+        from ..train.loop import TrainLoopConfig, train_with_restarts
         loop_cfg = TrainLoopConfig(
             arch=args.arch, batch_size=args.batch_size,
             num_epochs=args.num_epochs, learning_rate=args.learning_rate,
@@ -242,9 +243,11 @@ def cmd_run_train(args):
             time_pad_multiple=args.time_pad_multiple,
             bucket_by_length=args.bucket_by_length)
         cv_dir = os.path.join(args.data_root, args.cv_set) if args.cv_set else ""
-        train(os.path.join(args.data_root, args.train_set), exp_dir, loop_cfg,
-              cv_data_dir=cv_dir,
-              model_kwargs=read_model_config(args.model_config))
+        train_with_restarts(os.path.join(args.data_root, args.train_set),
+                            exp_dir, loop_cfg,
+                            max_restarts=getattr(args, "max_restarts", 2),
+                            cv_data_dir=cv_dir,
+                            model_kwargs=read_model_config(args.model_config))
 
 
 def cmd_run_eval(args):
@@ -342,6 +345,9 @@ def _add_train(p):
                    help="write a device trace of the first few steps here")
     p.add_argument("--train-copy-location", default="",
                    help="stage training features here first (reference flag)")
+    p.add_argument("--max-restarts", type=int, default=2,
+                   help="auto-resume from the newest checkpoint after a "
+                        "transient crash, up to N times")
 
 
 def build_parser():

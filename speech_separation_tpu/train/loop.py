@@ -127,10 +127,89 @@ def _device_put_batch(batch: dict, mesh) -> dict:
     return arrays
 
 
+class ExpDirLocked(RuntimeError):
+    pass
+
+
+class _ExpLock:
+    """Concurrent-run guard: two trainers writing one exp dir corrupt the
+    checkpoints and loss logs. The reference guarded the analogous hazard
+    (two jobs sharing a staging dir) with an existence-check abort
+    (qsub_train.sh:64-69); this is the same idea with stale-lock recovery:
+    a lock owned by a dead PID is silently replaced."""
+
+    def __init__(self, exp_dir: str):
+        self.path = os.path.join(exp_dir, ".train.lock")
+
+    def __enter__(self):
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        if os.path.isfile(self.path):
+            try:
+                pid = int(open(self.path).read().strip())
+                os.kill(pid, 0)  # raises if the owner is gone
+                raise ExpDirLocked(
+                    f"{os.path.dirname(self.path)} is being trained by live "
+                    f"pid {pid}; refusing to run concurrently")
+            except (ValueError, ProcessLookupError, PermissionError):
+                pass  # stale lock
+        with open(self.path, "w") as f:
+            f.write(str(os.getpid()))
+        return self
+
+    def __exit__(self, *exc):
+        try:
+            os.remove(self.path)
+        except OSError:
+            pass
+
+
+def latest_intermediate_epoch(exp_dir: str) -> int:
+    """Highest saved intermediate checkpoint epoch, 0 if none."""
+    int_dir = os.path.join(exp_dir, "intermediate_models")
+    if not os.path.isdir(int_dir):
+        return 0
+    epochs = [int(f[:3]) for f in os.listdir(int_dir)
+              if f.endswith(".mdl") and f[:3].isdigit()]
+    return max(epochs, default=0)
+
+
+def train_with_restarts(data_dir: str, exp_dir: str,
+                        loop_cfg: TrainLoopConfig, max_restarts: int = 0,
+                        log=print, **kwargs) -> dict:
+    """Failure-recovering driver: on a crash (e.g. a transient TPU-runtime
+    error), resume from the newest intermediate checkpoint, up to
+    max_restarts times. The reference had no recovery at all (SGE -r no;
+    manual start_epoch — SURVEY.md §5)."""
+    attempt = 0
+    cfg = loop_cfg
+    while True:
+        try:
+            return train(data_dir, exp_dir, cfg, log=log, **kwargs)
+        except (ExpDirLocked, KeyboardInterrupt):
+            raise
+        except Exception as e:
+            if attempt >= max_restarts:
+                raise
+            attempt += 1
+            resume_from = max(latest_intermediate_epoch(exp_dir),
+                              cfg.start_epoch)
+            log(f"training crashed ({type(e).__name__}: {e}); "
+                f"restart {attempt}/{max_restarts} from epoch {resume_from}")
+            cfg = dataclasses.replace(cfg, start_epoch=resume_from)
+
+
 def train(data_dir: str, exp_dir: str, loop_cfg: TrainLoopConfig,
           cv_data_dir: str = "", model_kwargs: dict | None = None,
           use_mesh: bool = True, log=print) -> dict:
     """Run the full training loop. Returns {'params', 'state', 'model_cfg'}."""
+    with _ExpLock(exp_dir):
+        return _train_locked(data_dir, exp_dir, loop_cfg, cv_data_dir,
+                             model_kwargs, use_mesh, log)
+
+
+def _train_locked(data_dir: str, exp_dir: str, loop_cfg: TrainLoopConfig,
+                  cv_data_dir: str = "", model_kwargs: dict | None = None,
+                  use_mesh: bool = True, log=print) -> dict:
     arch = get_arch(loop_cfg.arch)
     model_cfg = arch.Config.from_kwargs(**(model_kwargs or {}))
     for k, v in (model_kwargs or {}).items():
