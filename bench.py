@@ -67,7 +67,6 @@ def bench_dsp_bandwidth(B=64, n_sec=6.0, iters=20):
     samples in + out, the BASELINE.json feat-extract+iSTFT metric)."""
     import jax
     import jax.numpy as jnp
-    from functools import partial
     from speech_separation_tpu.dsp.stft import (num_frames,
                                                 stft_centered_batch,
                                                 istft_batch)

@@ -22,7 +22,6 @@ import argparse
 import json
 import os
 import shutil
-import sys
 
 
 def read_model_config(path: str) -> dict:

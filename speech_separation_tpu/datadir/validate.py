@@ -16,7 +16,6 @@ from __future__ import annotations
 import glob
 import os
 
-from .scp import read_scp
 
 
 class DataDirError(ValueError):

@@ -14,15 +14,12 @@ reconstruct.py) remains for reference interface compatibility.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..dsp.stft import (STFTConfig, num_frames, istft_output_length,
                         reflect_pad_center, stft_centered_batch, istft_batch)
-from ..models.registry import get_arch
 from .infer import load_model
 
 

@@ -31,8 +31,6 @@ import dataclasses
 import os
 import sys
 import time
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -388,9 +386,24 @@ def _plot_cv_batch(arch, model_cfg, params, state, dev_batch, rng, plotdir):
             sources = np.asarray(dev_batch["sources"][0])  # (S, T, F)
             chosen = np.concatenate([sources[i] for i in perm], axis=1)
             plot_spec(chosen, os.path.join(plotdir, "Chosen_Permutation.png"))
-        else:  # RSH: per-pass masks
-            masks = np.asarray(aux["masks"][0])  # (S, T, F)
-            for p in range(masks.shape[0]):
-                plot_spec(masks[p], os.path.join(plotdir, f"Pass-{p + 1}_Mask_Out.png"))
+        else:
+            # RSH per-pass artifacts (reference archs/RSH.py:243-252):
+            # Mix, and per pass Input/Attenmask/Mask_Out/Masked_Mix/
+            # Chosen_Source, named by the sub-batch speaker count
+            masks = np.asarray(aux["masks"][0])        # (S, T, F)
+            assigns = np.asarray(aux["assignments"][0])  # (S,)
+            sources = np.asarray(dev_batch["sources"][0])
+            S, T, F = masks.shape
+            n = sources.shape[0]
+            plot_spec(mix, os.path.join(plotdir, f"{n}-Spk_Mix.png"))
+            atten = np.ones_like(mix)
+            for p in range(S):
+                prefix = os.path.join(plotdir, f"{n}-Spk_Pass-{p + 1}_")
+                plot_spec(np.concatenate([mix, atten], axis=1), prefix + "Input.png")
+                plot_spec(atten, prefix + "Attenmask.png")
+                plot_spec(masks[p], prefix + "Mask_Out.png")
+                plot_spec(masks[p] * mix, prefix + "Masked_Mix.png")
+                plot_spec(sources[assigns[p]], prefix + "Chosen_Source.png")
+                atten = np.maximum(atten - masks[p], 0.0)
     except Exception as e:  # plotting must never kill training
         print(f"warning: cv plotting failed: {e}")
