@@ -26,12 +26,16 @@ from ..train.data import FeatureDataset, BatchPlan, make_device_batch, plan_batc
 
 def load_model(model_path: str, arch_name: str = "",
                model_kwargs: dict | None = None):
-    """Load (arch, cfg, params, state) from a checkpoint; the arch comes
-    from the checkpoint meta unless overridden."""
+    """Load (arch, cfg, params, state) from a checkpoint. The arch name and
+    model hyperparameters come from the checkpoint meta (embedded at train
+    time), overridable by the explicit arguments — so eval works without a
+    separate config file (the reference needs its conf snapshot)."""
     ckpt = load_checkpoint(model_path)
     name = arch_name or ckpt["meta"].get("arch", "uPIT")
     arch = get_arch(name)
-    cfg = arch.Config.from_kwargs(**(model_kwargs or {}))
+    kwargs = dict(ckpt["meta"].get("model_kwargs", {}))
+    kwargs.update(model_kwargs or {})
+    cfg = arch.Config.from_kwargs(**kwargs)
     # restore onto correctly-structured templates
     params_t, state_t = arch.init(jax.random.PRNGKey(0), cfg)
     from flax import serialization

@@ -210,6 +210,11 @@ def _train_locked(data_dir: str, exp_dir: str, loop_cfg: TrainLoopConfig,
                   use_mesh: bool = True, log=print) -> dict:
     arch = get_arch(loop_cfg.arch)
     model_cfg = arch.Config.from_kwargs(**(model_kwargs or {}))
+    # embedded in every checkpoint so eval can reconstruct the model
+    # without a separate config file (the reference needs the conf
+    # snapshot + frozen arch.py for this)
+    ckpt_meta = {"arch": arch.NAME,
+                 "model_kwargs": {k: str(v) for k, v in (model_kwargs or {}).items()}}
     for k, v in (model_kwargs or {}).items():
         log(f"modelparam: {k} {v}")
 
@@ -251,7 +256,7 @@ def _train_locked(data_dir: str, exp_dir: str, loop_cfg: TrainLoopConfig,
         save_checkpoint(intermediate_model_path(exp_dir, "init"),
                         params=params, state=state, opt_state=opt_state,
                         rng=jax.random.key_data(key), epoch=0,
-                        meta={"arch": arch.NAME})
+                        meta=ckpt_meta)
         # fresh run: reference appends to existing logs only on resume
         open(loss_file, "w").close()
         if cv_dataset:
@@ -342,7 +347,7 @@ def _train_locked(data_dir: str, exp_dir: str, loop_cfg: TrainLoopConfig,
             save_checkpoint(intermediate_model_path(exp_dir, epoch + 1),
                             params=params, state=state, opt_state=opt_state,
                             rng=jax.random.key_data(key), epoch=epoch + 1,
-                            meta={"arch": arch.NAME})
+                            meta=ckpt_meta)
             if loop_cfg.make_plots and epoch_losses:
                 from ..utils.plot import plot_loss
                 first_ep = epoch_losses[0][0]
@@ -354,7 +359,7 @@ def _train_locked(data_dir: str, exp_dir: str, loop_cfg: TrainLoopConfig,
     save_checkpoint(final_model_path(exp_dir),
                     params=params, state=state, opt_state=opt_state,
                     rng=jax.random.key_data(key),
-                    epoch=loop_cfg.num_epochs, meta={"arch": arch.NAME})
+                    epoch=loop_cfg.num_epochs, meta=ckpt_meta)
     if loop_cfg.make_plots and epoch_losses:
         from ..utils.plot import plot_loss
         first_ep = epoch_losses[0][0]

@@ -162,3 +162,24 @@ def test_resume_continues_training(corpus, tmp_path):
     with open(os.path.join(exp_dir, "train_stats", "train_loss.txt")) as f:
         epochs = [int(l.split()[0]) for l in f.read().splitlines()]
     assert epochs == [1, 2, 3, 4, 5, 6, 7]
+
+
+def test_checkpoint_embeds_model_kwargs(corpus, tmp_path):
+    """Eval reconstructs the model from checkpoint metadata alone — no
+    --model-config needed (usability improvement over the reference's
+    conf-snapshot requirement)."""
+    from speech_separation_tpu.train.loop import TrainLoopConfig, train
+    from speech_separation_tpu.eval.infer import load_model
+
+    exp_dir = str(tmp_path / "exp" / "meta")
+    train(corpus["tr_dir"], exp_dir,
+          TrainLoopConfig(arch="uPIT", batch_size=4, num_epochs=1,
+                          time_pad_multiple=64, make_plots=False),
+          model_kwargs={"hidden": 16, "num_layers": 1})
+    arch, cfg, params, state = load_model(os.path.join(exp_dir, "final.mdl"))
+    assert arch.NAME == "uPIT"
+    assert cfg.hidden == 16 and cfg.num_layers == 1
+    # explicit kwargs still win
+    _, cfg2, _, _ = load_model(os.path.join(exp_dir, "final.mdl"),
+                               model_kwargs={"num_spk": "2"})
+    assert cfg2.hidden == 16
