@@ -107,7 +107,35 @@ def extract_features(data_dir: str, data_type: str, feat_dir: str,
     feat_lines: list[tuple[str, str]] = []
     spk_lines: list[tuple[str, str]] = []
     frame_lines: list[tuple[str, str]] = []
-    jobs: list[tuple[str, dict, int]] = []  # (utt_id, {key: token}, num_spk)
+    # Streaming in utterance groups bounds host memory: spectrograms are
+    # written to disk as soon as their group's device batch completes
+    # (holding a whole corpus of results would need tens of GB).
+    group: list[tuple[str, dict, int]] = []  # (utt_id, {key: token}, num_spk)
+    GROUP_UTTS = 24
+
+    def process_group():
+        stft.flush()
+        for seg_id, tokens, num_spk in group:
+            out_path = os.path.join(feat_dir, seg_id)
+            file_dict = {}
+            n_frames_mix = None
+            for key, token in tokens.items():
+                re, im = stft.pop(token)
+                # ascontiguousarray: re/im are transposed views; without it
+                # numpy stores the member fortran_order and every reader pays
+                if data_type == "train":
+                    file_dict[key] = np.ascontiguousarray(
+                        np.sqrt(re * re + im * im), dtype=np.float32)
+                else:
+                    file_dict[key] = np.ascontiguousarray(
+                        re + 1j * im, dtype=np.complex64)
+                if key == "mix":
+                    n_frames_mix = file_dict[key].shape[1]
+            (np.savez_compressed if compress else np.savez)(out_path, **file_dict)
+            feat_lines.append((seg_id, out_path + ".npz"))
+            spk_lines.append((seg_id, str(num_spk)))
+            frame_lines.append((seg_id, str(n_frames_mix)))
+        group.clear()
 
     for reco_id, mix_path in wav_entries:
         wav_files = source_wavs_for_mix(mix_path)
@@ -135,30 +163,10 @@ def extract_features(data_dir: str, data_type: str, feat_dir: str,
                 token = (seg_id, "mix")
                 tokens["mix"] = token
                 stft.add(audio, token)
-            jobs.append((seg_id, tokens, num_spk))
-
-    stft.flush()
-
-    for seg_id, tokens, num_spk in jobs:
-        out_path = os.path.join(feat_dir, seg_id)
-        file_dict = {}
-        n_frames_mix = None
-        for key, token in tokens.items():
-            re, im = stft.pop(token)
-            # ascontiguousarray: re/im are transposed views; without it numpy
-            # would store the member fortran_order and every reader pays
-            if data_type == "train":
-                file_dict[key] = np.ascontiguousarray(
-                    np.sqrt(re * re + im * im), dtype=np.float32)
-            else:
-                file_dict[key] = np.ascontiguousarray(
-                    re + 1j * im, dtype=np.complex64)
-            if key == "mix":
-                n_frames_mix = file_dict[key].shape[1]
-        (np.savez_compressed if compress else np.savez)(out_path, **file_dict)
-        feat_lines.append((seg_id, out_path + ".npz"))
-        spk_lines.append((seg_id, str(num_spk)))
-        frame_lines.append((seg_id, str(n_frames_mix)))
+            group.append((seg_id, tokens, num_spk))
+            if len(group) >= GROUP_UTTS:
+                process_group()
+    process_group()
 
     def _write(name, lines):
         with open(os.path.join(data_dir, name + job_suffix), "w") as f:
