@@ -28,19 +28,29 @@ def load_wav(path: str, sr: int | None = None,
 
     Mirrors librosa.core.load(path, sr=sr, offset=..., duration=...) as used
     at reference steps/extract_feats.py:74 (mono sources; multi-channel is
-    averaged to mono like librosa's default).
+    averaged to mono like librosa's default). Decoding goes through the
+    native runtime when available (bit-identical, tested), scipy otherwise.
     """
-    file_sr, data = wavfile.read(path)
-    if data.dtype == np.int16:
-        x = data.astype(np.float32) / 32768.0
-    elif data.dtype == np.int32:
-        x = data.astype(np.float32) / 2147483648.0
-    elif data.dtype == np.uint8:
-        x = (data.astype(np.float32) - 128.0) / 128.0
-    else:  # float32 / float64 wavs are already normalized
-        x = data.astype(np.float32)
-    if x.ndim > 1:
-        x = x.mean(axis=1)
+    x = None
+    try:
+        from . import native
+        got = native.read_wav_f32(path) if native.available() else None
+        if got is not None:
+            x, file_sr = got
+    except Exception:
+        x = None
+    if x is None:
+        file_sr, data = wavfile.read(path)
+        if data.dtype == np.int16:
+            x = data.astype(np.float32) / 32768.0
+        elif data.dtype == np.int32:
+            x = data.astype(np.float32) / 2147483648.0
+        elif data.dtype == np.uint8:
+            x = (data.astype(np.float32) - 128.0) / 128.0
+        else:  # float32 / float64 wavs are already normalized
+            x = data.astype(np.float32)
+        if x.ndim > 1:
+            x = x.mean(axis=1)
 
     if offset or duration is not None:
         start = int(round(offset * file_sr))

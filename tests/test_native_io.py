@@ -66,10 +66,18 @@ def test_wav_matches_python_loader(tmp_path):
     path = str(tmp_path / "a.wav")
     write_wav_int16(path, 8000, x)
 
-    ref, sr_ref = load_wav(path)
+    # scipy reference decode (load_wav itself now prefers the native path)
+    from scipy.io import wavfile
+    sr_ref, data = wavfile.read(path)
+    ref = data.astype(np.float32) / 32768.0
+
     got, sr = native.read_wav_f32(path)
     assert sr == sr_ref == 8000
     np.testing.assert_array_equal(got, ref)
+
+    via_loader, sr2 = load_wav(path)
+    assert sr2 == 8000
+    np.testing.assert_array_equal(via_loader, ref)
 
 
 def test_load_fortran_order_member(tmp_path):
