@@ -114,7 +114,8 @@ def cmd_train(args):
         reference_resume=args.reference_resume,
         make_plots=not args.no_plots,
         profile_dir=args.profile_dir,
-        train_copy_location=args.train_copy_location)
+        train_copy_location=args.train_copy_location,
+        on_device_features=args.on_device_features)
     train_with_restarts(args.data_dir, args.exp_dir, loop_cfg,
                         max_restarts=args.max_restarts,
                         cv_data_dir=args.cv_data_dir,
@@ -347,6 +348,10 @@ def _add_train(p):
     p.add_argument("--max-restarts", type=int, default=2,
                    help="auto-resume from the newest checkpoint after a "
                         "transient crash, up to N times")
+    p.add_argument("--on-device-features", action="store_true",
+                   help="waveform-direct training: read wav.scp, compute "
+                        "STFT features inside the train step (no feature "
+                        "files, ~4x less host->device traffic)")
 
 
 def build_parser():

@@ -235,22 +235,29 @@ def _collate(dataset: FeatureDataset, idxs: list[int], plan: BatchPlan) -> dict:
     return make_device_batch([dataset.load(i) for i in idxs], plan)
 
 
-def iter_batches(dataset: FeatureDataset, plan: BatchPlan, epoch: int,
+def iter_batches(dataset, plan: BatchPlan, epoch: int,
                  shuffle: bool = True, prefetch: int = 2,
                  lengths: np.ndarray | None = None,
-                 num_spks: np.ndarray | None = None):
-    """Yield collated batches, loading + collating in a background thread."""
+                 num_spks: np.ndarray | None = None,
+                 collate_fn=None):
+    """Yield collated batches, loading + collating in a background thread.
+
+    `dataset` is any indexable with __len__; collate_fn(idxs) overrides the
+    default FeatureDataset collation (used by the waveform-direct pipeline).
+    """
     if lengths is None:
-        lengths = dataset.num_frames
+        lengths = getattr(dataset, "num_frames", None)
     batches = plan_batches(dataset, plan, epoch, lengths=lengths,
                            num_spks=num_spks, shuffle=shuffle)
+    if collate_fn is None:
+        collate_fn = lambda idxs: _collate(dataset, idxs, plan)
     q: queue.Queue = queue.Queue(maxsize=prefetch)
     _SENTINEL = object()
 
     def producer():
         try:
             for idxs in batches:
-                q.put(_collate(dataset, idxs, plan))
+                q.put(collate_fn(idxs))
         except Exception as e:  # surface loader errors on the consumer side
             q.put(e)
             return

@@ -39,6 +39,7 @@ import optax
 from .checkpoint import (save_checkpoint, load_checkpoint,
                          intermediate_model_path, final_model_path)
 from .data import FeatureDataset, BatchPlan, iter_batches
+from ..dsp.stft import STFTConfig
 from ..models.registry import get_arch
 from ..parallel.mesh import get_mesh, shard_batch
 
@@ -65,6 +66,12 @@ class TrainLoopConfig:
     # the first profile_steps batches written to profile_dir
     profile_dir: str = ""
     profile_steps: int = 5
+    # waveform-direct training: read wav.scp, ship audio to the device, and
+    # compute the STFT features inside the jit'd train step — ~4x less
+    # host->device traffic and no feature files (see train/wav_data.py).
+    # Numerically identical to precomputed features (same STFT program).
+    on_device_features: bool = False
+    stft: STFTConfig = STFTConfig()
 
 
 def make_optimizer(cfg: TrainLoopConfig):
@@ -74,11 +81,17 @@ def make_optimizer(cfg: TrainLoopConfig):
     )
 
 
-def make_update_step(arch, model_cfg, optimizer):
-    """One jit'd train step: grads of (loss/norm), clip, Adam, BN update."""
+def make_update_step(arch, model_cfg, optimizer, stft_cfg: STFTConfig | None = None):
+    """One jit'd train step: grads of (loss/norm), clip, Adam, BN update.
+    With stft_cfg set, the batch carries waveforms and the feature
+    extraction fuses into the same XLA program (waveform-direct mode)."""
 
     @jax.jit
     def step(params, state, opt_state, batch, rng):
+        if stft_cfg is not None:
+            from .wav_data import audio_to_feature_batch
+            batch = audio_to_feature_batch(batch, stft_cfg)
+
         def lossf(p):
             loss, aux = arch.loss_fn(model_cfg, p, state, batch, rng, True)
             return loss, aux
@@ -91,9 +104,12 @@ def make_update_step(arch, model_cfg, optimizer):
     return step
 
 
-def make_eval_step(arch, model_cfg):
+def make_eval_step(arch, model_cfg, stft_cfg: STFTConfig | None = None):
     @jax.jit
     def step(params, state, batch, rng):
+        if stft_cfg is not None:
+            from .wav_data import audio_to_feature_batch
+            batch = audio_to_feature_batch(batch, stft_cfg)
         loss, aux = arch.loss_fn(model_cfg, params, state, batch, rng, False)
         return loss, aux["norm"]
 
@@ -224,22 +240,39 @@ def _train_locked(data_dir: str, exp_dir: str, loop_cfg: TrainLoopConfig,
     loss_file = os.path.join(stats_dir, "train_loss.txt")
     cv_loss_file = os.path.join(stats_dir, "cv_loss.txt")
 
-    dataset = FeatureDataset(data_dir, "train",
-                             copy_location=loop_cfg.train_copy_location)
-    cv_dataset = FeatureDataset(cv_data_dir, "train") if cv_data_dir else None
+    collate_fn = cv_collate_fn = None
+    if loop_cfg.on_device_features:
+        # waveform-direct mode: data_dir needs only wav.scp; features are
+        # computed inside the train step (train/wav_data.py)
+        from .wav_data import WavDataset, collate_wav_batch
+        dataset = WavDataset(data_dir, loop_cfg.stft)
+        cv_dataset = WavDataset(cv_data_dir, loop_cfg.stft) if cv_data_dir else None
+        collate_fn = lambda idxs: collate_wav_batch(dataset, idxs,
+                                                    loop_cfg.batch_size)
+        if cv_dataset:
+            cv_collate_fn = lambda idxs: collate_wav_batch(
+                cv_dataset, idxs, loop_cfg.batch_size)
+    else:
+        dataset = FeatureDataset(data_dir, "train",
+                                 copy_location=loop_cfg.train_copy_location)
+        cv_dataset = (FeatureDataset(cv_data_dir, "train")
+                      if cv_data_dir else None)
     plan = BatchPlan(batch_size=loop_cfg.batch_size,
                      time_pad_multiple=loop_cfg.time_pad_multiple,
                      bucket_by_length=loop_cfg.bucket_by_length,
                      group_by_num_spk=(arch.NAME == "RSH"),
                      seed=loop_cfg.seed)
-    num_spks = None
-    if plan.group_by_num_spk:
-        if dataset.num_spks is not None:
-            num_spks = dataset.num_spks
-        else:  # legacy feature dirs without utt2num_spk: inspect the npz
-            num_spks = np.asarray(
-                [s["sources"].shape[0] if "sources" in s else 1
-                 for s in map(dataset.load, range(len(dataset)))])
+    def _spk_counts(ds):
+        if ds is None or not plan.group_by_num_spk:
+            return None
+        if ds.num_spks is not None:
+            return ds.num_spks
+        # legacy feature dirs without utt2num_spk: inspect the npz
+        return np.asarray([s["sources"].shape[0] if "sources" in s else 1
+                           for s in map(ds.load, range(len(ds)))])
+
+    num_spks = _spk_counts(dataset)
+    cv_num_spks = _spk_counts(cv_dataset)
 
     mesh = get_mesh() if use_mesh and len(jax.devices()) > 1 else None
 
@@ -274,8 +307,9 @@ def _train_locked(data_dir: str, exp_dir: str, loop_cfg: TrainLoopConfig,
         epoch_losses = _truncate_loss_file(loss_file, loop_cfg.start_epoch)
         cv_losses = _truncate_loss_file(cv_loss_file, loop_cfg.start_epoch)
 
-    update_step = make_update_step(arch, model_cfg, optimizer)
-    eval_step = make_eval_step(arch, model_cfg)
+    stft_for_step = loop_cfg.stft if loop_cfg.on_device_features else None
+    update_step = make_update_step(arch, model_cfg, optimizer, stft_for_step)
+    eval_step = make_eval_step(arch, model_cfg, stft_for_step)
 
     lossF = open(loss_file, "a")
     cv_lossF = open(cv_loss_file, "a") if cv_dataset else None
@@ -288,7 +322,8 @@ def _train_locked(data_dir: str, exp_dir: str, loop_cfg: TrainLoopConfig,
         epoch_utts = 0
         t_epoch = time.time()
         for i_batch, batch in enumerate(
-                iter_batches(dataset, plan, epoch, num_spks=num_spks)):
+                iter_batches(dataset, plan, epoch, num_spks=num_spks,
+                             collate_fn=collate_fn)):
             if profiling and i_batch == 1:  # skip the compile batch
                 try:
                     jax.profiler.start_trace(loop_cfg.profile_dir)
@@ -319,7 +354,8 @@ def _train_locked(data_dir: str, exp_dir: str, loop_cfg: TrainLoopConfig,
             cv_loss_sum, cv_norm_sum = 0.0, 0.0
             first = True
             for batch in iter_batches(cv_dataset, plan, 0, shuffle=False,
-                                      num_spks=num_spks):
+                                      num_spks=cv_num_spks,
+                                      collate_fn=cv_collate_fn):
                 key, step_key = jax.random.split(key)
                 dev_batch = _device_put_batch(batch, mesh)
                 loss, norm = eval_step(params, state, dev_batch, step_key)
@@ -377,6 +413,8 @@ def _plot_cv_batch(arch, model_cfg, params, state, dev_batch, rng, plotdir):
     """Reference CV plots (archs/uPIT.py:199-204): mixture, masked mixture,
     chosen permutation for the first CV utterance."""
     try:
+        if "mix" not in dev_batch:
+            return  # waveform-direct batches: spectra live on device only
         from ..utils.plot import plot_spec
         loss, aux = arch.loss_fn(model_cfg, params, state, dev_batch, rng, False)
         mix = np.asarray(dev_batch["mix"][0])
