@@ -239,11 +239,15 @@ def iter_batches(dataset, plan: BatchPlan, epoch: int,
                  shuffle: bool = True, prefetch: int = 2,
                  lengths: np.ndarray | None = None,
                  num_spks: np.ndarray | None = None,
-                 collate_fn=None):
+                 collate_fn=None, transfer_fn=None):
     """Yield collated batches, loading + collating in a background thread.
 
     `dataset` is any indexable with __len__; collate_fn(idxs) overrides the
     default FeatureDataset collation (used by the waveform-direct pipeline).
+    `transfer_fn(batch)` (e.g. device_put with sharding) also runs in the
+    producer thread, so host->device transfers overlap device compute —
+    on hosts where the device link is slow, the epoch wall approaches
+    max(transfer, compute) instead of their sum.
     """
     if lengths is None:
         lengths = getattr(dataset, "num_frames", None)
@@ -251,6 +255,9 @@ def iter_batches(dataset, plan: BatchPlan, epoch: int,
                            num_spks=num_spks, shuffle=shuffle)
     if collate_fn is None:
         collate_fn = lambda idxs: _collate(dataset, idxs, plan)
+    if transfer_fn is not None:
+        base_collate = collate_fn
+        collate_fn = lambda idxs: transfer_fn(base_collate(idxs))
     q: queue.Queue = queue.Queue(maxsize=prefetch)
     _SENTINEL = object()
 

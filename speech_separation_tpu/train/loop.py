@@ -311,6 +311,12 @@ def _train_locked(data_dir: str, exp_dir: str, loop_cfg: TrainLoopConfig,
     update_step = make_update_step(arch, model_cfg, optimizer, stft_for_step)
     eval_step = make_eval_step(arch, model_cfg, stft_for_step)
 
+    def transfer_fn(batch):
+        # runs in the prefetch thread: H2D overlaps device compute
+        dev = _device_put_batch(batch, mesh)
+        dev["_n_real"] = float(batch["row_mask"].sum())  # host-side count
+        return dev
+
     lossF = open(loss_file, "a")
     cv_lossF = open(cv_loss_file, "a") if cv_dataset else None
 
@@ -321,9 +327,9 @@ def _train_locked(data_dir: str, exp_dir: str, loop_cfg: TrainLoopConfig,
         epoch_loss, epoch_norm = 0.0, 0.0
         epoch_utts = 0
         t_epoch = time.time()
-        for i_batch, batch in enumerate(
+        for i_batch, dev_batch in enumerate(
                 iter_batches(dataset, plan, epoch, num_spks=num_spks,
-                             collate_fn=collate_fn)):
+                             collate_fn=collate_fn, transfer_fn=transfer_fn)):
             if profiling and i_batch == 1:  # skip the compile batch
                 try:
                     jax.profiler.start_trace(loop_cfg.profile_dir)
@@ -331,7 +337,7 @@ def _train_locked(data_dir: str, exp_dir: str, loop_cfg: TrainLoopConfig,
                     log(f"warning: profiler unavailable: {e}")
                     profiling = False
             key, step_key = jax.random.split(key)
-            dev_batch = _device_put_batch(batch, mesh)
+            n_real = dev_batch.pop("_n_real")
             params, state, opt_state, loss, norm = update_step(
                 params, state, opt_state, dev_batch, step_key)
             loss, norm = float(loss), float(norm)
@@ -344,7 +350,7 @@ def _train_locked(data_dir: str, exp_dir: str, loop_cfg: TrainLoopConfig,
                 profiling = False
             epoch_loss += loss * norm
             epoch_norm += norm
-            epoch_utts += int(batch["row_mask"].sum())
+            epoch_utts += int(n_real)
         utts_seen += epoch_utts
         epoch_wall = time.time() - t_epoch
         log(f"epoch {epoch + 1:03d} wall: {epoch_wall:.1f}s "
@@ -353,11 +359,12 @@ def _train_locked(data_dir: str, exp_dir: str, loop_cfg: TrainLoopConfig,
         if cv_dataset and (epoch + 1) % loop_cfg.cv_every == 0:
             cv_loss_sum, cv_norm_sum = 0.0, 0.0
             first = True
-            for batch in iter_batches(cv_dataset, plan, 0, shuffle=False,
-                                      num_spks=cv_num_spks,
-                                      collate_fn=cv_collate_fn):
+            for dev_batch in iter_batches(cv_dataset, plan, 0, shuffle=False,
+                                          num_spks=cv_num_spks,
+                                          collate_fn=cv_collate_fn,
+                                          transfer_fn=transfer_fn):
                 key, step_key = jax.random.split(key)
-                dev_batch = _device_put_batch(batch, mesh)
+                dev_batch.pop("_n_real", None)
                 loss, norm = eval_step(params, state, dev_batch, step_key)
                 cv_loss_sum += float(loss) * float(norm)
                 cv_norm_sum += float(norm)
