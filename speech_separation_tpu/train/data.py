@@ -255,25 +255,44 @@ def iter_batches(dataset, plan: BatchPlan, epoch: int,
                            num_spks=num_spks, shuffle=shuffle)
     if collate_fn is None:
         collate_fn = lambda idxs: _collate(dataset, idxs, plan)
-    if transfer_fn is not None:
-        base_collate = collate_fn
-        collate_fn = lambda idxs: transfer_fn(base_collate(idxs))
-    q: queue.Queue = queue.Queue(maxsize=prefetch)
-    _SENTINEL = object()
 
-    def producer():
+    _SENTINEL = object()
+    q_collated: queue.Queue = queue.Queue(maxsize=prefetch)
+
+    def collate_producer():
         try:
             for idxs in batches:
-                q.put(collate_fn(idxs))
+                q_collated.put(collate_fn(idxs))
         except Exception as e:  # surface loader errors on the consumer side
-            q.put(e)
+            q_collated.put(e)
             return
-        q.put(_SENTINEL)
+        q_collated.put(_SENTINEL)
 
-    t = threading.Thread(target=producer, daemon=True)
-    t.start()
+    threading.Thread(target=collate_producer, daemon=True).start()
+    q_out = q_collated
+
+    if transfer_fn is not None:
+        # second pipeline stage: device transfer overlaps both collation
+        # and device compute (three-deep pipeline)
+        q_dev: queue.Queue = queue.Queue(maxsize=prefetch)
+
+        def transfer_producer():
+            while True:
+                item = q_collated.get()
+                if item is _SENTINEL or isinstance(item, Exception):
+                    q_dev.put(item)
+                    return
+                try:
+                    q_dev.put(transfer_fn(item))
+                except Exception as e:
+                    q_dev.put(e)
+                    return
+
+        threading.Thread(target=transfer_producer, daemon=True).start()
+        q_out = q_dev
+
     while True:
-        item = q.get()
+        item = q_out.get()
         if item is _SENTINEL:
             break
         if isinstance(item, Exception):

@@ -77,7 +77,12 @@ class WavDataset:
 
 
 def collate_wav_batch(dataset: WavDataset, idxs: list[int],
-                      batch_size: int, sample_pad_multiple: int = 16384) -> dict:
+                      batch_size: int, sample_pad_multiple: int = 16384,
+                      ship_int16: bool = True) -> dict:
+    """ship_int16 re-quantizes the normalized audio to int16 for transfer
+    (exact roundtrip for PCM16 sources — the corpora here — halving the
+    host->device bytes; the device renormalizes). Set False for float-format
+    wavs."""
     cfg = dataset.cfg
     B = batch_size
     S = max(int(dataset.num_spks[i]) for i in idxs)
@@ -104,6 +109,8 @@ def collate_wav_batch(dataset: WavDataset, idxs: list[int],
         lengths[row] = num_frames(n, cfg.hop)
         row_mask[row] = 1.0
         names.append(utt)
+    if ship_int16:
+        audio = np.round(audio * 32768.0).clip(-32768, 32767).astype(np.int16)
     return {"audio": audio, "sample_lengths": sample_lengths,
             "lengths": lengths, "row_mask": row_mask, "names": names}
 
@@ -117,6 +124,8 @@ def audio_to_feature_batch(batch: dict, cfg: STFTConfig):
     from ..dsp.stft import stft_magnitude_batch
 
     audio = batch["audio"]
+    if audio.dtype == jnp.int16:  # shipped quantized; renormalize on device
+        audio = audio.astype(jnp.float32) / 32768.0
     B, C, Lp = audio.shape
     n_t = (Lp - cfg.n_fft) // cfg.hop + 1
     mag = stft_magnitude_batch(audio.reshape(B * C, Lp), cfg.n_fft, cfg.hop,
