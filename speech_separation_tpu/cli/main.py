@@ -215,10 +215,13 @@ def cmd_run_train(args):
                              id_lists_dir=args.id_lists_dir)
 
     if args.stage <= 1:
-        print("### Extracting features (stage 1) ###")
-        for ds in datasets:
-            _extract(os.path.join(args.data_root, ds), "train",
-                     os.path.join(args.featdir, f"{ds}_train"), args)
+        if args.on_device_features:
+            print("### Skipping feature extraction (on-device features) ###")
+        else:
+            print("### Extracting features (stage 1) ###")
+            for ds in datasets:
+                _extract(os.path.join(args.data_root, ds), "train",
+                         os.path.join(args.featdir, f"{ds}_train"), args)
 
     if args.stage <= 2:
         print("### Training model (stage 2) ###")
@@ -241,7 +244,8 @@ def cmd_run_train(args):
             num_epochs=args.num_epochs, learning_rate=args.learning_rate,
             start_epoch=args.start_epoch, seed=args.seed,
             time_pad_multiple=args.time_pad_multiple,
-            bucket_by_length=args.bucket_by_length)
+            bucket_by_length=args.bucket_by_length,
+            on_device_features=args.on_device_features)
         cv_dir = os.path.join(args.data_root, args.cv_set) if args.cv_set else ""
         train_with_restarts(os.path.join(args.data_root, args.train_set),
                             exp_dir, loop_cfg,
