@@ -104,8 +104,13 @@ def cmd_extract(args):
 
 
 def cmd_train(args):
+    from ..dsp import STFTConfig
     from ..train.loop import TrainLoopConfig, train_with_restarts
+    stft = STFTConfig(n_fft=getattr(args, "fft_dim", 512),
+                      hop=getattr(args, "step_size", 128),
+                      sample_rate=getattr(args, "sample_rate", 8000))
     loop_cfg = TrainLoopConfig(
+        stft=stft,
         arch=args.arch, batch_size=args.batch_size,
         num_epochs=args.num_epochs, learning_rate=args.learning_rate,
         start_epoch=args.start_epoch, seed=args.seed,
@@ -239,13 +244,16 @@ def cmd_run_train(args):
             shutil.copy(arch_mod.__file__, os.path.join(exp_dir, "arch.py"))
 
         from ..train.loop import TrainLoopConfig, train_with_restarts
+        from ..dsp import STFTConfig
         loop_cfg = TrainLoopConfig(
             arch=args.arch, batch_size=args.batch_size,
             num_epochs=args.num_epochs, learning_rate=args.learning_rate,
             start_epoch=args.start_epoch, seed=args.seed,
             time_pad_multiple=args.time_pad_multiple,
             bucket_by_length=args.bucket_by_length,
-            on_device_features=args.on_device_features)
+            on_device_features=args.on_device_features,
+            stft=STFTConfig(n_fft=args.fft_dim, hop=args.step_size,
+                            sample_rate=args.sample_rate))
         cv_dir = os.path.join(args.data_root, args.cv_set) if args.cv_set else ""
         train_with_restarts(os.path.join(args.data_root, args.train_set),
                             exp_dir, loop_cfg,
@@ -388,6 +396,10 @@ def build_parser():
     p.add_argument("data_dir")
     p.add_argument("exp_dir")
     _add_train(p)
+    # STFT params matter in --on-device-features mode
+    p.add_argument("--fft-dim", type=int, default=512)
+    p.add_argument("--step-size", type=int, default=128)
+    p.add_argument("--sample-rate", type=int, default=8000)
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("eval-masks", help="generate masks for a test set")
