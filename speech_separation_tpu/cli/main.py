@@ -262,6 +262,48 @@ def cmd_run_train(args):
                             model_kwargs=read_model_config(args.model_config))
 
 
+def _ensure_utt2num_spk(data_dir: str) -> None:
+    """Write utt2num_spk from the corpus layout (/mix/ -> /*/ glob) when no
+    feature-extraction stage ran to produce it."""
+    path = os.path.join(data_dir, "utt2num_spk")
+    if os.path.isfile(path):
+        return
+    from ..datadir.scp import read_scp, write_utt2num_spk, source_wavs_for_mix
+    entries = read_scp(os.path.join(data_dir, "wav.scp"))
+    write_utt2num_spk(path, ((u, max(len(source_wavs_for_mix(p)) - 1, 1))
+                             for u, p in entries))
+
+
+def _run_eval_fused(args, test_sets, model, model_path, model_config):
+    """Waveform-direct evaluation: mixtures stream through the fused
+    wav->separated-wavs program (eval/pipeline.py); no feature files, no
+    mask npz, no separate reconstruction stage. Output wavs and scoring are
+    identical in layout to the staged path."""
+    from ..datadir.scp import read_scp
+    from ..dsp import STFTConfig
+    from ..eval.pipeline import SeparationPipeline
+    from ..utils.audio import load_wav, write_wav_int16
+
+    cfg = STFTConfig(n_fft=args.fft_dim, hop=args.step_size,
+                     sample_rate=args.sample_rate)
+    pipe = SeparationPipeline(model_path,
+                              model_kwargs=read_model_config(model_config),
+                              stft_cfg=cfg, batch_size=min(args.batch_size, 32))
+    for ds in test_sets:
+        data_dir = os.path.join(args.data_root, ds)
+        out_dir = os.path.join(args.model_dir, f"output_{model}", ds)
+        entries = read_scp(os.path.join(data_dir, "wav.scp"))
+        utts = [u for u, _ in entries]
+        signals = [load_wav(p, sr=cfg.sample_rate)[0] for _, p in entries]
+        outs = pipe.separate(signals)
+        for utt, ests in zip(utts, outs):
+            for s, est in enumerate(ests):
+                path = os.path.join(out_dir, "wav", f"s{s + 1}", utt + ".wav")
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                write_wav_int16(path, cfg.sample_rate, est)
+        print(f"separated {len(utts)} mixtures -> {out_dir}/wav")
+
+
 def cmd_run_eval(args):
     """Staged evaluation recipe (reference run_eval.sh)."""
     test_sets = args.test_sets.split()
@@ -270,6 +312,35 @@ def cmd_run_eval(args):
     conf = os.path.join(args.model_dir, "conf")
     if not model_config and os.path.isfile(conf):
         model_config = conf  # auto-reuse snapshot (run_eval.sh:25)
+
+    if getattr(args, "on_device_features", False):
+        if args.intermediate_model_num:
+            model_path = os.path.join(args.model_dir, "intermediate_models",
+                                      f"{int(args.intermediate_model_num):03d}.mdl")
+        else:
+            model_path = os.path.join(args.model_dir, "final.mdl")
+        if args.stage <= 0:
+            print("### Preparing data directories (stage 0) ###")
+            from ..datadir import prepare_data_dir
+            for ds in test_sets:
+                prepare_data_dir(ds, _registry(args), data_root=args.data_root,
+                                 id_lists_dir=args.id_lists_dir)
+        if args.stage <= 3:
+            print("### Fused separation (stages 1-3 combined) ###")
+            _run_eval_fused(args, test_sets, model, model_path, model_config)
+        if args.stage <= 4:
+            print("### Evaluating estimated sources (stage 4) ###")
+            from ..eval import evaluate_sources
+            for ds in test_sets:
+                # utt2num_spk comes from the corpus layout, not features
+                data_dir = os.path.join(args.data_root, ds)
+                _ensure_utt2num_spk(data_dir)
+                means = evaluate_sources(
+                    data_dir,
+                    os.path.join(args.model_dir, f"output_{model}", ds),
+                    num_workers=args.nj)
+                print(f"{ds} mean SDR: {means['SDR']:.2f}")
+        return
 
     if args.stage <= 0:
         print("### Preparing data directories (stage 0) ###")
@@ -471,6 +542,8 @@ def build_parser():
     p.add_argument("--model-config", default="")
     p.add_argument("--batch-size", type=int, default=100)
     p.add_argument("--featdir", default="feats")
+    p.add_argument("--on-device-features", action="store_true",
+                   help="fused wav->wav separation (no feature/mask files)")
     _add_common(p)
     _add_stft(p)
     p.set_defaults(fn=cmd_run_eval)

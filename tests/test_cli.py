@@ -75,3 +75,16 @@ def test_oracle_cli(workspace):
     assert os.path.isfile(stats)
     with open(stats) as f:
         assert float(f.readline().split("\t")[1]) > 8.0
+
+
+def test_run_eval_fused_on_device(workspace):
+    """Waveform-direct eval: stages 1-3 fuse into one program; wavs and
+    scores appear in the same layout as the staged path."""
+    sepsep(["run-eval", "--model-dir", "exp/uPIT_toy_tr",
+            "--test-sets", "toy_tt", "--batch-size", "3",
+            "--on-device-features", "--stage", "1"])
+    out = "exp/uPIT_toy_tr/output_final/toy_tt"
+    assert os.path.isfile(os.path.join(out, "wav", "s1", "tt0000.wav"))
+    assert os.path.isfile(os.path.join(out, "results", "SDR_stats.txt"))
+    with open(os.path.join(out, "results", "SDR_stats.txt")) as f:
+        assert np.isfinite(float(f.readline().split("\t")[1]))
