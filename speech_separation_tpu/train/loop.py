@@ -31,6 +31,8 @@ import dataclasses
 import os
 import sys
 import time
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -86,7 +88,9 @@ def make_update_step(arch, model_cfg, optimizer, stft_cfg: STFTConfig | None = N
     With stft_cfg set, the batch carries waveforms and the feature
     extraction fuses into the same XLA program (waveform-direct mode)."""
 
-    @jax.jit
+    # donate params/state/opt_state: their HBM buffers are updated in place
+    # instead of double-buffered (the caller reassigns them every step)
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
     def step(params, state, opt_state, batch, rng):
         if stft_cfg is not None:
             from .wav_data import audio_to_feature_batch

@@ -93,3 +93,21 @@ def test_restart_gives_up_after_limit(tiny_data, tmp_path, monkeypatch):
         train_with_restarts(tiny_data, str(tmp_path / "exp"),
                             TrainLoopConfig(num_epochs=1, make_plots=False),
                             max_restarts=2)
+
+
+def test_reference_resume_drops_optimizer_state(tiny_data, tmp_path):
+    """--reference-resume reproduces the reference's resume semantics
+    (Adam moments reset — train_qsub.py:104-110): training still completes
+    and the loss log stays contiguous."""
+    exp = str(tmp_path / "exp")
+    base = dict(arch="uPIT", batch_size=4, time_pad_multiple=64,
+                checkpoint_every=2, cv_every=100, make_plots=False)
+    train(tiny_data, exp, TrainLoopConfig(num_epochs=2, **base),
+          model_kwargs={"hidden": 8, "num_layers": 1})
+    train(tiny_data, exp,
+          TrainLoopConfig(num_epochs=4, start_epoch=2, reference_resume=True,
+                          **base),
+          model_kwargs={"hidden": 8, "num_layers": 1})
+    with open(os.path.join(exp, "train_stats", "train_loss.txt")) as f:
+        epochs = [int(l.split()[0]) for l in f.read().splitlines()]
+    assert epochs == [1, 2, 3, 4]

@@ -60,16 +60,24 @@ def test_data_parallel_loss_matches_single_device():
     step = make_update_step(upit, cfg, optimizer)
     key = jax.random.PRNGKey(1)
 
+    # the update step donates its params/state/opt buffers, so each path
+    # gets its own identically-initialized copies
+    def fresh():
+        p, s = upit.init(jax.random.PRNGKey(0), cfg)
+        return p, s, optimizer.init(p)
+
     # single device
     batch1 = {k: jnp.asarray(v) for k, v in batch_np.items()}
-    p1, s1, o1, loss1, norm1 = step(params, state, opt_state, batch1, key)
+    p, s, o = fresh()
+    p1, s1, o1, loss1, norm1 = step(p, s, o, batch1, key)
 
     # 8-device data parallel
     mesh = make_mesh()
     batch8 = shard_batch(batch_np, mesh)
-    p8 = replicate_tree(params, mesh)
-    s8 = replicate_tree(state, mesh)
-    o8 = replicate_tree(opt_state, mesh)
+    p, s, o = fresh()
+    p8 = replicate_tree(p, mesh)
+    s8 = replicate_tree(s, mesh)
+    o8 = replicate_tree(o, mesh)
     with mesh:
         p8, s8, o8, loss8, norm8 = step(p8, s8, o8, batch8, key)
 
