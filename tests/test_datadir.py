@@ -72,3 +72,35 @@ def test_split_data_dir_matches_reference_awk(tmp_path):
     assert [k for k, _ in s2] == [f"u{i:02d}" for i in range(4, 7)]
     assert [k for k, _ in s3] == [f"u{i:02d}" for i in range(7, 10)]
     assert len(s1) + len(s2) + len(s3) == n
+
+
+def test_prepare_combo_dataset(tmp_path):
+    """combo* sets assemble wav.scp entries from the five constituent
+    training sets by utterance id (reference local/prepare_data_dir.sh:14-30).
+    Constituents must exist first; missing ones raise."""
+    from speech_separation_tpu.datadir.registry import COMBO_SOURCE_SETS
+
+    id_lists = tmp_path / "id_lists"
+    id_lists.mkdir()
+    data_root = str(tmp_path / "data")
+    reg = DatasetRegistry({s: f"/corpora/{s}" for s in COMBO_SOURCE_SETS})
+    # two utterances per constituent set
+    for s in COMBO_SOURCE_SETS:
+        (id_lists / f"{s}.txt").write_text(f"{s}_utt0\n{s}_utt1\n")
+
+    combo_ids = [f"{COMBO_SOURCE_SETS[0]}_utt1", f"{COMBO_SOURCE_SETS[2]}_utt0"]
+    (id_lists / "combo_test.txt").write_text("\n".join(combo_ids) + "\n")
+
+    with pytest.raises(FileNotFoundError):
+        prepare_data_dir("combo_test", reg, data_root=data_root,
+                         id_lists_dir=str(id_lists))
+
+    for s in COMBO_SOURCE_SETS:
+        prepare_data_dir(s, reg, data_root=data_root, id_lists_dir=str(id_lists))
+    out = prepare_data_dir("combo_test", reg, data_root=data_root,
+                           id_lists_dir=str(id_lists))
+    entries = read_scp(os.path.join(out, "wav.scp"))
+    assert entries == [
+        (combo_ids[0], f"/corpora/{COMBO_SOURCE_SETS[0]}/mix/{combo_ids[0]}.wav"),
+        (combo_ids[1], f"/corpora/{COMBO_SOURCE_SETS[2]}/mix/{combo_ids[1]}.wav"),
+    ]
