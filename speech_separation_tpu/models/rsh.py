@@ -12,9 +12,14 @@ Functional reimplementation of the reference arch plugin (archs/RSH.py):
           Each pass estimates one mask, computes its MSE against every
           source, excludes sources already claimed by that sample (+Inf),
           takes the per-sample greedy argmin, then subtracts the mask from
-          the attention channel: train uses relu(combo - [0, mask])
-          (archs/RSH.py:254-257), test subtracts without relu
-          (archs/RSH.py:278-281);
+          the attention channel. The residual-update rule is a property of
+          the CODE PATH, not of the train flag: compute_loss always applies
+          relu(combo - [0, mask]) (archs/RSH.py:254-257) — including when
+          invoked for CV under model.eval() via compute_cv_loss
+          (archs/RSH.py:190-194, steps/train_qsub.py:131) — while
+          compute_masks subtracts without relu (archs/RSH.py:278-281).
+          Here loss_fn therefore relus unconditionally and only BN obeys
+          the train flag; infer_masks never relus;
   state:  the LSTM hidden state carries over BETWEEN passes — the reference
           initializes self.hidden once per sub-batch (archs/RSH.py:212) and
           each forward reuses and overwrites it (archs/RSH.py:172). BN
@@ -152,12 +157,12 @@ def loss_fn(cfg: Config, params, state, batch, rng, train: bool):
         assignments.append(idx)
         masks.append(mask)
 
-        # residual attention update: subtract the extracted mask;
-        # relu at train (archs/RSH.py:256), plain subtraction at test (:280)
+        # residual attention update: the loss path ALWAYS relus the
+        # subtracted residual (archs/RSH.py:256 runs unconditionally in
+        # compute_loss, CV included); only infer_masks skips the relu
+        # (archs/RSH.py:280). The train flag governs BN alone.
         update = jnp.concatenate([jnp.zeros_like(mask), mask], axis=-1)
-        combo = combo - update
-        if train:
-            combo = jax.nn.relu(combo)
+        combo = jax.nn.relu(combo - update)
 
     norm = S * jnp.sum(lengths.astype(jnp.float32) * row_mask) * cfg.feat_dim
     return total / norm, {"norm": norm, "total": total,
