@@ -99,6 +99,10 @@ def bench_dsp_bandwidth(B=64, n_sec=6.0, iters=20):
 
 def main():
     here = os.path.dirname(os.path.abspath(__file__))
+    import sys
+    sys.path.insert(0, here)
+    from speech_separation_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()  # compile_s is ~0 on a warm cache
     baseline_path = os.path.join(here, "tools", "baseline_measured.json")
     baseline_utts = None
     if os.path.isfile(baseline_path):

@@ -117,6 +117,7 @@ def cmd_train(args):
         time_pad_multiple=args.time_pad_multiple,
         bucket_by_length=args.bucket_by_length,
         reference_resume=args.reference_resume,
+        reference_batching=args.reference_batching,
         make_plots=not args.no_plots,
         profile_dir=args.profile_dir,
         train_copy_location=args.train_copy_location,
@@ -208,6 +209,12 @@ def cmd_oracle(args):
 
 # ------------------------------------------------------------------- recipes
 
+def cmd_import_model(args):
+    """Torch .mdl -> native checkpoint (steps/eval_qsub.py:67 migration)."""
+    from ..utils.import_torch import import_reference_model
+    import_reference_model(args.mdl_path, args.out_path)
+
+
 def cmd_run_train(args):
     """Staged training recipe (reference run_train.sh)."""
     datasets = [args.train_set] + ([args.cv_set] if args.cv_set else [])
@@ -251,6 +258,7 @@ def cmd_run_train(args):
             start_epoch=args.start_epoch, seed=args.seed,
             time_pad_multiple=args.time_pad_multiple,
             bucket_by_length=args.bucket_by_length,
+            reference_batching=args.reference_batching,
             on_device_features=args.on_device_features,
             stft=STFTConfig(n_fft=args.fft_dim, hop=args.step_size,
                             sample_rate=args.sample_rate))
@@ -423,6 +431,11 @@ def _add_train(p):
     p.add_argument("--bucket-by-length", action="store_true")
     p.add_argument("--reference-resume", action="store_true",
                    help="drop optimizer state on resume, like the reference")
+    p.add_argument("--reference-batching", action="store_true",
+                   help="RSH fidelity mode: shuffled mixed batches split "
+                        "into speaker-count sub-batches with gradient "
+                        "accumulation and one optimizer step per batch, "
+                        "exactly like the reference (archs/RSH.py:46-70)")
     p.add_argument("--no-plots", action="store_true")
     p.add_argument("--profile-dir", default="",
                    help="write a device trace of the first few steps here")
@@ -522,6 +535,14 @@ def build_parser():
     _add_stft(p)
     p.set_defaults(fn=cmd_oracle)
 
+    p = sub.add_parser("import-model",
+                       help="convert a reference torch .mdl state-dict into "
+                            "a native checkpoint (arch and hyperparameters "
+                            "inferred from the weight shapes)")
+    p.add_argument("mdl_path")
+    p.add_argument("out_path")
+    p.set_defaults(fn=cmd_import_model)
+
     p = sub.add_parser("run-train", help="staged training recipe")
     p.add_argument("--stage", type=int, default=0)
     p.add_argument("--arch", default="uPIT")
@@ -552,6 +573,10 @@ def build_parser():
 
 
 def main(argv=None):
+    # every distinct batch shape costs one XLA compile (up to minutes on a
+    # TPU tunnel); the persistent cache makes that a once-per-machine cost
+    from ..utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     args.fn(args)
 

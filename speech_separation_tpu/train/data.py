@@ -119,6 +119,40 @@ class BatchPlan:
     seed: int = 0
 
 
+def _pow2_ceil(n: int, cap: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return min(p, cap)
+
+
+def collate_mixed_batch(dataset: FeatureDataset, idxs: list[int],
+                        plan: BatchPlan,
+                        num_spks: np.ndarray | None) -> list[dict]:
+    """Reference mixed-batch collation (archs/RSH.py:46-70): one shuffled
+    batch split into speaker-count sub-batches, ascending by count like the
+    reference's range(max_spk) iteration (archs/RSH.py:204). The trainer
+    accumulates gradients across the sub-batches and takes ONE optimizer
+    step (steps/train_qsub.py:116-122).
+
+    Each sub-batch is padded to its own static shape; rows go to the next
+    power of two (bounds the number of compiled executables) and time to
+    time_pad_multiple.
+    """
+    samples = {i: dataset.load(i) for i in idxs}
+    groups: dict[int, list[int]] = {}
+    for i in idxs:
+        s = (int(num_spks[i]) if num_spks is not None
+             else samples[i]["sources"].shape[0])
+        groups.setdefault(s, []).append(i)
+    out = []
+    for s in sorted(groups):
+        rows = [samples[i] for i in groups[s]]
+        out.append(make_device_batch(
+            rows, plan, pad_rows_to=_pow2_ceil(len(rows), plan.batch_size)))
+    return out
+
+
 def plan_batches(dataset: FeatureDataset, plan: BatchPlan, epoch: int,
                  lengths: np.ndarray | None = None,
                  num_spks: np.ndarray | None = None,

@@ -60,6 +60,13 @@ class TrainLoopConfig:
     time_pad_multiple: int = 128
     bucket_by_length: bool = False
     reference_resume: bool = False  # drop optimizer state on resume, like the reference
+    # RSH mixed-batch fidelity (archs/RSH.py:46-70 + steps/train_qsub.py:
+    # 116-122): draw ONE shuffled batch, split it into speaker-count
+    # sub-batches, sum loss/norm across them, take ONE optimizer step —
+    # instead of this framework's default epoch-level speaker-count
+    # grouping. Identical on single-speaker-count corpora; changes batch
+    # composition and step count on mixed corpora.
+    reference_batching: bool = False
     make_plots: bool = True
     # stage training features to fast local storage first
     # (reference --train-copy-location, archs/uPIT.py:56-58)
@@ -106,6 +113,39 @@ def make_update_step(arch, model_cfg, optimizer, stft_cfg: STFTConfig | None = N
         return params_new, aux["new_state"], opt_state_new, loss, aux["norm"]
 
     return step
+
+
+def make_grad_step(arch, model_cfg):
+    """Gradient-accumulation piece of the reference mixed-batch semantics:
+    grads of the UNNORMALIZED loss for one speaker-count sub-batch. Since
+    the reference backprops (sum_sb total_sb) / (sum_sb norm_sb) and the
+    norms are data-only, d/dp = (sum_sb d total_sb/dp) / total_norm — the
+    caller sums these grads and apply_step divides once."""
+
+    @jax.jit
+    def gstep(params, state, batch, rng):
+        def lossf(p):
+            _, aux = arch.loss_fn(model_cfg, p, state, batch, rng, True)
+            return aux["total"], aux
+
+        (total, aux), grads = jax.value_and_grad(lossf, has_aux=True)(params)
+        return total, aux["norm"], aux["new_state"], grads
+
+    return gstep
+
+
+def make_apply_step(optimizer):
+    """Apply one optimizer step from accumulated unnormalized grads:
+    scale by 1/total_norm, then clip 0.25 + Adam (the clip sees exactly the
+    gradient torch's clip_grad_norm_ saw after backward of loss/norm)."""
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def astep(params, opt_state, grads, total_norm):
+        grads = jax.tree_util.tree_map(lambda g: g / total_norm, grads)
+        updates, opt_state_new = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state_new
+
+    return astep
 
 
 def make_eval_step(arch, model_cfg, stft_cfg: STFTConfig | None = None):
@@ -261,13 +301,15 @@ def _train_locked(data_dir: str, exp_dir: str, loop_cfg: TrainLoopConfig,
                                  copy_location=loop_cfg.train_copy_location)
         cv_dataset = (FeatureDataset(cv_data_dir, "train")
                       if cv_data_dir else None)
+    reference_batching = loop_cfg.reference_batching and arch.NAME == "RSH"
     plan = BatchPlan(batch_size=loop_cfg.batch_size,
                      time_pad_multiple=loop_cfg.time_pad_multiple,
                      bucket_by_length=loop_cfg.bucket_by_length,
-                     group_by_num_spk=(arch.NAME == "RSH"),
+                     group_by_num_spk=(arch.NAME == "RSH"
+                                       and not reference_batching),
                      seed=loop_cfg.seed)
     def _spk_counts(ds):
-        if ds is None or not plan.group_by_num_spk:
+        if ds is None or not (plan.group_by_num_spk or reference_batching):
             return None
         if ds.num_spks is not None:
             return ds.num_spks
@@ -315,8 +357,31 @@ def _train_locked(data_dir: str, exp_dir: str, loop_cfg: TrainLoopConfig,
     update_step = make_update_step(arch, model_cfg, optimizer, stft_for_step)
     eval_step = make_eval_step(arch, model_cfg, stft_for_step)
 
+    grad_step = apply_step = None
+    if reference_batching:
+        if loop_cfg.on_device_features:
+            raise ValueError("reference_batching needs feature-file input "
+                             "(the mixed-batch split is a collation rule)")
+        from .data import collate_mixed_batch
+        grad_step = make_grad_step(arch, model_cfg)
+        apply_step = make_apply_step(optimizer)
+        collate_fn = lambda idxs: collate_mixed_batch(dataset, idxs, plan,
+                                                      num_spks)
+        if cv_dataset:
+            cv_collate_fn = lambda idxs: collate_mixed_batch(
+                cv_dataset, idxs, plan, cv_num_spks)
+
     def transfer_fn(batch):
         # runs in the prefetch thread: H2D overlaps device compute
+        if isinstance(batch, list):  # mixed batch: list of sub-batches
+            subs = []
+            for sb in batch:
+                rows = sb["row_mask"].shape[0]
+                sb_mesh = mesh if (mesh is not None
+                                   and rows % mesh.devices.size == 0) else None
+                subs.append(_device_put_batch(sb, sb_mesh))
+            return {"_subs": subs,
+                    "_n_real": float(sum(sb["row_mask"].sum() for sb in batch))}
         dev = _device_put_batch(batch, mesh)
         dev["_n_real"] = float(batch["row_mask"].sum())  # host-side count
         return dev
@@ -342,9 +407,27 @@ def _train_locked(data_dir: str, exp_dir: str, loop_cfg: TrainLoopConfig,
                     profiling = False
             key, step_key = jax.random.split(key)
             n_real = dev_batch.pop("_n_real")
-            params, state, opt_state, loss, norm = update_step(
-                params, state, opt_state, dev_batch, step_key)
-            loss, norm = float(loss), float(norm)
+            if "_subs" in dev_batch:
+                # reference mixed-batch semantics: grads accumulate over the
+                # speaker-count sub-batches (BN state threads through them in
+                # order), then ONE clip+Adam step on the summed gradient
+                # scaled by the summed norm (train_qsub.py:116-122)
+                total_sum, norm_sum, acc = 0.0, 0.0, None
+                for sb in dev_batch["_subs"]:
+                    key, sub_key = jax.random.split(key)
+                    total, norm_sb, state, grads = grad_step(
+                        params, state, sb, sub_key)
+                    total_sum += float(total)
+                    norm_sum += float(norm_sb)
+                    acc = (grads if acc is None else
+                           jax.tree_util.tree_map(jnp.add, acc, grads))
+                params, opt_state = apply_step(params, opt_state, acc,
+                                               jnp.float32(norm_sum))
+                loss, norm = total_sum / norm_sum, norm_sum
+            else:
+                params, state, opt_state, loss, norm = update_step(
+                    params, state, opt_state, dev_batch, step_key)
+                loss, norm = float(loss), float(norm)
             if profiling and i_batch == loop_cfg.profile_steps:
                 try:
                     jax.profiler.stop_trace()
@@ -369,12 +452,15 @@ def _train_locked(data_dir: str, exp_dir: str, loop_cfg: TrainLoopConfig,
                                           transfer_fn=transfer_fn):
                 key, step_key = jax.random.split(key)
                 dev_batch.pop("_n_real", None)
-                loss, norm = eval_step(params, state, dev_batch, step_key)
-                cv_loss_sum += float(loss) * float(norm)
-                cv_norm_sum += float(norm)
+                sub_batches = dev_batch.get("_subs", [dev_batch])
+                for sb in sub_batches:
+                    key, sub_key = jax.random.split(key)
+                    loss, norm = eval_step(params, state, sb, sub_key)
+                    cv_loss_sum += float(loss) * float(norm)
+                    cv_norm_sum += float(norm)
                 if first and loop_cfg.make_plots:
-                    _plot_cv_batch(arch, model_cfg, params, state, dev_batch,
-                                   step_key,
+                    _plot_cv_batch(arch, model_cfg, params, state,
+                                   sub_batches[0], step_key,
                                    os.path.join(plot_dir, f"epoch{epoch + 1:03d}"))
                     first = False
             cv_avg = cv_loss_sum / cv_norm_sum

@@ -1,0 +1,129 @@
+"""Import reference torch checkpoints (.mdl state-dicts) for evaluation.
+
+The reference saves ``torch.save(model.state_dict(), ...)`` at train time
+(steps/train_qsub.py:148-155) and evaluates those files with the frozen arch
+source (steps/eval_qsub.py:67). A reference user migrating here has trained
+.mdl files; this module maps them onto this framework's parameter pytrees so
+``sepsep import-model old.mdl new.mdl`` produces a native checkpoint that
+eval-masks / run-eval consume directly.
+
+Layout mapping (torch LSTM/BatchNorm1d/Linear -> models/blstm + ops/batchnorm
++ linear head):
+- ``blstm.weight_ih_l{i}[_reverse]`` (4H, in)  -> params['blstm'][i][dir]['w_ih'].T
+- ``blstm.weight_hh_l{i}[_reverse]`` (4H, H)   -> ...['w_hh'].T
+- ``blstm.bias_ih + bias_hh``                  -> ...['b'] (algebraically one
+  bias; stored summed — models/blstm.py)
+- ``lin.weight`` (out, 2H) -> params['lin']['w'].T;  ``lin.bias`` -> ['b']
+- ``bn.weight/bias`` -> gamma/beta;  ``bn.running_mean/var`` -> state['bn']
+
+Gate order: torch packs LSTM gates as (i, f, g, o) — the same order
+models/blstm.py uses — verified by shape checks here and by the round-trip
+parity test (tests/test_import_torch.py).
+
+The architecture and hyperparameters are inferred from the shapes:
+RSH has input_dim == 2 * lin_out (archs/RSH.py:155-157); uPIT has
+lin_out == feat_dim * num_spk with input_dim == feat_dim
+(archs/uPIT.py:115-117).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _to_numpy_state_dict(obj) -> dict:
+    out = {}
+    for k, v in obj.items():
+        if hasattr(v, "detach"):  # torch tensor
+            v = v.detach().cpu().numpy()
+        out[k] = np.asarray(v)
+    return out
+
+
+def load_torch_state_dict(path: str) -> dict:
+    """torch.load the reference .mdl (a pickled state_dict)."""
+    import torch
+
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except TypeError:  # older torch without weights_only
+        sd = torch.load(path, map_location="cpu")
+    return _to_numpy_state_dict(sd)
+
+
+def infer_model_info(sd: dict) -> dict:
+    """Infer {arch, feat_dim, num_spk, hidden, num_layers} from shapes."""
+    if "blstm.weight_ih_l0" not in sd or "lin.weight" not in sd:
+        raise ValueError("not a reference SepDNN state dict "
+                         "(expected blstm.*/lin.*/bn.* keys)")
+    w0 = sd["blstm.weight_ih_l0"]
+    if w0.shape[0] % 4:
+        raise ValueError(f"weight_ih_l0 first dim {w0.shape[0]} is not 4*H "
+                         "(unexpected gate layout)")
+    hidden = w0.shape[0] // 4
+    input_dim = w0.shape[1]
+    num_layers = len([k for k in sd
+                      if k.startswith("blstm.weight_ih_l")
+                      and not k.endswith("_reverse")])
+    if f"blstm.weight_ih_l0_reverse" not in sd:
+        raise ValueError("state dict is not bidirectional")
+    lin_out = sd["lin.weight"].shape[0]
+    if input_dim == 2 * lin_out:
+        # RSH: input = concat(mix, attention) of dim 2F, one mask of dim F
+        return {"arch": "RSH", "feat_dim": lin_out, "num_spk": None,
+                "hidden": hidden, "num_layers": num_layers}
+    if lin_out % input_dim == 0:
+        return {"arch": "uPIT", "feat_dim": input_dim,
+                "num_spk": lin_out // input_dim,
+                "hidden": hidden, "num_layers": num_layers}
+    raise ValueError(f"cannot infer arch from shapes: input_dim={input_dim}, "
+                     f"lin_out={lin_out}")
+
+
+def params_from_state_dict(sd: dict):
+    """Returns (params, state, info) in this framework's pytree layout."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    info = infer_model_info(sd)
+    f32 = lambda a: np.ascontiguousarray(a.T).astype(np.float32)
+    layers = []
+    for li in range(info["num_layers"]):
+        directions = {}
+        for direction, sfx in (("fwd", ""), ("bwd", "_reverse")):
+            directions[direction] = {
+                "w_ih": f32(sd[f"blstm.weight_ih_l{li}{sfx}"]),
+                "w_hh": f32(sd[f"blstm.weight_hh_l{li}{sfx}"]),
+                "b": (sd[f"blstm.bias_ih_l{li}{sfx}"]
+                      + sd[f"blstm.bias_hh_l{li}{sfx}"]).astype(np.float32),
+            }
+        layers.append(directions)
+    params = {
+        "blstm": tuple(layers),
+        "bn": {"gamma": sd["bn.weight"].astype(np.float32),
+               "beta": sd["bn.bias"].astype(np.float32)},
+        "lin": {"w": f32(sd["lin.weight"]),
+                "b": sd["lin.bias"].astype(np.float32)},
+    }
+    state = {"bn": {"mean": sd["bn.running_mean"].astype(np.float32),
+                    "var": sd["bn.running_var"].astype(np.float32)}}
+    return params, state, info
+
+
+def import_reference_model(mdl_path: str, out_path: str, log=print) -> dict:
+    """Convert a reference .mdl into a native checkpoint ready for
+    eval-masks / run-eval. Returns the inferred model info."""
+    from ..train.checkpoint import save_checkpoint
+
+    sd = load_torch_state_dict(mdl_path)
+    params, state, info = params_from_state_dict(sd)
+    model_kwargs = {"feat_dim": str(info["feat_dim"]),
+                    "hidden": str(info["hidden"]),
+                    "num_layers": str(info["num_layers"])}
+    if info["num_spk"] is not None:
+        model_kwargs["num_spk"] = str(info["num_spk"])
+    save_checkpoint(out_path, params=params, state=state,
+                    meta={"arch": info["arch"], "model_kwargs": model_kwargs,
+                          "imported_from": mdl_path})
+    log(f"imported {info['arch']} model ({info['num_layers']}x"
+        f"{info['hidden']} BLSTM, feat_dim {info['feat_dim']}) "
+        f"-> {out_path}")
+    return info
