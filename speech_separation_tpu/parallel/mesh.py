@@ -70,22 +70,41 @@ def replicate_tree(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
-def shard_params(params, mesh: Mesh):
-    """Tensor-parallel placement: output-dim sharding over 'model' for the
-    large matmul weights, replication for everything else.
+def shard_params(params, mesh: Mesh, lstm_gates: bool = False):
+    """Tensor-parallel placement over the 'model' axis.
 
-    With mesh model=1 this degenerates to replication; with model>1 the
-    LSTM input/hidden projections and the mask head split their gate/output
-    columns across chips and XLA inserts the activation all-gathers.
+    Default (head-only TP): the mask head's Linear weight/bias split their
+    output dimension across model shards — a clean column-parallel matmul
+    whose only collective is outside the recurrence — and the LSTM weights
+    stay replicated. This is the profitable TP decomposition for this
+    architecture: the recurrence is latency-bound, so sharding it trades
+    one matmul's FLOPs for per-scan-step collectives.
+
+    ``lstm_gates=True`` additionally splits the LSTM gate dimension
+    (contiguous (i,f,g,o) columns) across shards. Numerically exact (GSPMD
+    inserts the collectives; tests/test_multichip.py pins it against single
+    device) but measured ~15x slower than dp-only on the virtual mesh —
+    hundreds of per-step all-reduce/all-to-all ops inside the scan body
+    (tools/measure_tp_overhead.py; docs/performance.md). Kept as an opt-in
+    for models large enough that gate matmuls dominate; at the reference's
+    9M params use data parallelism.
+
+    With mesh model=1 both degenerate to replication.
     """
     if mesh.shape["model"] == 1:
         return replicate_tree(params, mesh)
 
     def place(path, x):
         names = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
-        if x.ndim == 2 and any(n in ("w_ih", "w_hh", "w") for n in names):
+        is_head = "lin" in names
+        is_lstm = "blstm" in names
+        if is_head and x.ndim == 2:
             spec = P(None, "model")
-        elif x.ndim == 1 and any(n in ("b",) for n in names):
+        elif is_head and x.ndim == 1:
+            spec = P("model")
+        elif lstm_gates and is_lstm and x.ndim == 2:
+            spec = P(None, "model")
+        elif lstm_gates and is_lstm and x.ndim == 1:
             spec = P("model")
         else:
             spec = P()
