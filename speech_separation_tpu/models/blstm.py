@@ -14,9 +14,13 @@ archs/RSH.py:155) with a TPU-native formulation:
   variable lengths are reproduced exactly: at padded steps the carry (h, c)
   passes through unchanged and the output is zeroed — identical to what
   torch's PackedSequence + pad_packed_sequence produce. The backward
-  direction reverses each row *within its own length* (gather with a
-  per-row index map), so it starts from each utterance's true last frame,
-  exactly like the packed cuDNN backward direction.
+  direction runs on the time-FLIPPED input with a suffix validity mask
+  (valid once t >= T - length): each row's padding is consumed first with
+  the state passing through h0 untouched, then its frames in true reverse
+  order — exactly the packed cuDNN backward direction, starting from each
+  utterance's true last frame. A plain flip (cheap strided copy, cheap to
+  differentiate) replaces the earlier per-row reversal gather, whose
+  autodiff scatter cost multiple ms per layer at reference scale.
 
 - Gate order is (i, f, g, o) and the initial hidden state is caller-provided
   (the reference draws it from randn per batch — archs/uPIT.py:121-127 — a
@@ -70,8 +74,9 @@ def _lstm_scan(xw: jnp.ndarray, mask: jnp.ndarray, w_hh: jnp.ndarray,
                h0: jnp.ndarray, c0: jnp.ndarray, compute_dtype=jnp.float32):
     """Run one direction's recurrence.
 
-    xw:   (T, B, 4H) precomputed x @ W_ih + b
-    mask: (T, B, 1) — 1.0 at valid steps
+    xw:   (T, D, B, 4H) precomputed x @ W_ih + b (direction-stacked)
+    mask: (T, D, B, 1) — 1.0 at valid steps, per direction (prefix mask for
+          the forward direction, suffix mask for the flipped reverse one)
     compute_dtype: matmul input dtype. bfloat16 feeds the MXU at full rate
     (accumulation stays float32 via preferred_element_type); the cell state
     and gate nonlinearities always run in float32 so the recurrence does
@@ -105,13 +110,6 @@ def _lstm_scan(xw: jnp.ndarray, mask: jnp.ndarray, w_hh: jnp.ndarray,
     return ys, final
 
 
-def _reverse_within_length(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
-    """Reverse each row's first `length` steps: out[b, t] = x[b, L_b-1-t]
-    for t < L_b (values at t >= L_b are irrelevant — they get masked)."""
-    B, T = x.shape[0], x.shape[1]
-    t_idx = jnp.arange(T)[None, :]
-    src = jnp.clip(lengths[:, None] - 1 - t_idx, 0, T - 1)
-    return jnp.take_along_axis(x, src[:, :, None], axis=1)
 
 
 def blstm_forward(params, x: jnp.ndarray, lengths: jnp.ndarray,
@@ -151,7 +149,9 @@ def blstm_forward(params, x: jnp.ndarray, lengths: jnp.ndarray,
 
     out = x
     h_finals, c_finals = [], []
-    mask_scan = mask_tb[:, None, :, :]  # (T, 1, B, 1) broadcasting over dirs
+    # per-direction masks: prefix for fwd, suffix (= flipped prefix) for the
+    # bwd direction running on time-flipped input
+    mask_scan = jnp.stack([mask_tb, jnp.flip(mask_tb, axis=0)], axis=1)
     for layer_idx, layer in enumerate(params):
         out_c = out.astype(compute_dtype)
         pf, pb = layer["fwd"], layer["bwd"]
@@ -160,7 +160,7 @@ def blstm_forward(params, x: jnp.ndarray, lengths: jnp.ndarray,
         # let the per-step hidden projection be a single batched matmul.
         # This halves the number of sequential scan steps per layer — the
         # recurrence is latency-bound on TPU, not FLOP-bound.
-        x_rev = _reverse_within_length(out_c, lengths)
+        x_rev = jnp.flip(out_c, axis=1)
         if compute_dtype == jnp.bfloat16:
             # fused path: one direction-batched einsum writes the gate
             # inputs directly in (T, 2, B, 4H) bf16 — no float32
@@ -184,20 +184,26 @@ def blstm_forward(params, x: jnp.ndarray, lengths: jnp.ndarray,
 
         if use_pallas:
             from ..ops.lstm_pallas import lstm_seq, lstm_seq_infer
+            # saved-activation (and ys) precision follows the compute dtype:
+            # bf16 on the perf path, f32 when running bit-faithful
+            save_dt = (jnp.bfloat16 if compute_dtype == jnp.bfloat16
+                       else jnp.float32)
             if save_activations:
                 ys, (hf, hb), (cf, cb) = lstm_seq(
                     xw, w_hh.astype(compute_dtype), h0[layer_idx],
-                    c0[layer_idx], lengths, jnp.bfloat16)
+                    c0[layer_idx], lengths, save_dt, (False, True))
             else:  # inference: no backward residuals, less HBM traffic
                 ys, (hf, hb), (cf, cb) = lstm_seq_infer(
                     xw, w_hh.astype(compute_dtype), h0[layer_idx],
-                    c0[layer_idx], lengths)
+                    c0[layer_idx], lengths, suffix_dirs=(False, True))
         else:
             ys, ((hf, hb), (cf, cb)) = _lstm_scan(
                 xw, mask_scan, w_hh, h0[layer_idx], c0[layer_idx], compute_dtype)
         y_fwd = ys[:, 0].transpose(1, 0, 2)
-        y_bwd = _reverse_within_length(
-            ys[:, 1].transpose(1, 0, 2), lengths) * mask[:, :, None]
+        # outputs at suffix-masked (flipped-padding) steps are already zero,
+        # so flipping back restores zeros past each row's length — no mask
+        # multiply needed
+        y_bwd = jnp.flip(ys[:, 1].transpose(1, 0, 2), axis=1)
 
         out = jnp.concatenate([y_fwd, y_bwd], axis=-1)
         h_finals.append(jnp.stack([hf, hb]))

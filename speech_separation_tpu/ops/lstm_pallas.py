@@ -18,9 +18,16 @@ pallas_call with grid=(T,):
   recurrence.
 
 Masking reproduces packed-sequence semantics exactly like the scan path
-(models/blstm.py): at steps past a row's length the state passes through
-and the output is zero. Masks are prefix masks (padding is always at the
-sequence end), which the backward derivation below relies on.
+(models/blstm.py): at masked steps the state passes through and the output
+is zero. Each direction has its own mask rule (``suffix_dirs``): prefix
+masks (valid while t < length) for the forward direction, and SUFFIX masks
+(valid while t >= T - length) for the reverse direction running on
+time-flipped input. The flip formulation processes each row's padding
+FIRST (state passes through h0 unchanged) and then its frames in reverse
+order — identical numbers to gathering each row's frames into reversed
+order, but the gather (and its scatter transpose in autodiff) never
+happens. That gather was measured as a multi-ms cost per layer at
+reference scale (see docs/performance.md).
 
 The backward pass is a second kernel running the time grid in reverse,
 streaming the forward's saved activations (post-activation gates in bf16,
@@ -53,9 +60,18 @@ def _interpret_default() -> bool:
 # forward kernel
 # ---------------------------------------------------------------------------
 
+def _dir_mask(lengths_ref, t, T, suffix: bool):
+    """Per-direction validity mask (B, 1) float32. Prefix: t < length.
+    Suffix (flipped-input reverse direction): t >= T - length, i.e. the
+    row's padding is consumed first with the state passing through."""
+    if suffix:
+        return (lengths_ref[:] > (T - 1 - t)).astype(jnp.float32)
+    return (lengths_ref[:] > t).astype(jnp.float32)
+
+
 def _fwd_kernel(lengths_ref, h0_ref, c0_ref, xw_ref, w_ref,
                 ys_ref, cs_ref, gates_ref, hlast_ref, clast_ref,
-                h_scr, c_scr):
+                h_scr, c_scr, *, suffix_dirs):
     T = pl.num_programs(0)
     t = pl.program_id(0)
     D, B, H = h_scr.shape
@@ -65,10 +81,8 @@ def _fwd_kernel(lengths_ref, h0_ref, c0_ref, xw_ref, w_ref,
         h_scr[:] = h0_ref[:]
         c_scr[:] = c0_ref[:]
 
-    # prefix mask: 1.0 while t < length (lengths: (B, 1) int32 in VMEM)
-    m = (lengths_ref[:] > t).astype(jnp.float32)  # (B, 1)
-
     for d in range(D):  # static unroll over directions
+        m = _dir_mask(lengths_ref, t, T, suffix_dirs[d])  # (B, 1)
         h_prev = h_scr[d]
         c_prev = c_scr[d]
         gates = xw_ref[0, d].astype(jnp.float32) + jnp.dot(
@@ -83,7 +97,7 @@ def _fwd_kernel(lengths_ref, h0_ref, c0_ref, xw_ref, w_ref,
 
         h_scr[d] = m * h_new + (1.0 - m) * h_prev
         c_scr[d] = m * c_new + (1.0 - m) * c_prev
-        ys_ref[0, d] = m * h_new
+        ys_ref[0, d] = (m * h_new).astype(ys_ref.dtype)
         cs_ref[0, d] = c_scr[d].astype(cs_ref.dtype)
         gates_ref[0, d] = jnp.concatenate([ia, fa, ga, oa], axis=1
                                           ).astype(gates_ref.dtype)
@@ -95,7 +109,7 @@ def _fwd_kernel(lengths_ref, h0_ref, c0_ref, xw_ref, w_ref,
 
 
 def lstm_seq_fwd(xw, w_hh, h0, c0, lengths, interpret=None,
-                 save_dtype=jnp.bfloat16):
+                 save_dtype=jnp.bfloat16, suffix_dirs=None):
     """Run the full LSTM recurrence.
 
     Args:
@@ -106,7 +120,9 @@ def lstm_seq_fwd(xw, w_hh, h0, c0, lengths, interpret=None,
       lengths: (B,) int32.
 
     Returns (ys, cs, gates, h_last, c_last):
-      ys   (T, D, B, H) f32 — masked hidden outputs
+      ys   (T, D, B, H) save_dtype — masked hidden outputs (bf16 halves
+           the kernel's dominant write stream and all downstream reads;
+           the consumer matmuls take bf16 anyway)
       cs   (T, D, B, H) f32 — cell state sequence (saved for backward)
       gates (T, D, B, 4H) save_dtype — post-activation (i, f, tanh g, o);
             bf16 halves the backward's streaming bytes at ~1e-3 relative
@@ -117,11 +133,13 @@ def lstm_seq_fwd(xw, w_hh, h0, c0, lengths, interpret=None,
         interpret = _interpret_default()
     T, D, B, G = xw.shape
     H = G // 4
+    if suffix_dirs is None:
+        suffix_dirs = (False,) * D
     lengths2 = lengths.reshape(B, 1).astype(jnp.int32)
 
     grid = (T,)
     out_shapes = (
-        jax.ShapeDtypeStruct((T, D, B, H), jnp.float32),   # ys
+        jax.ShapeDtypeStruct((T, D, B, H), save_dtype),    # ys
         jax.ShapeDtypeStruct((T, D, B, H), save_dtype),    # cs
         jax.ShapeDtypeStruct((T, D, B, G), save_dtype),    # gates
         jax.ShapeDtypeStruct((D, B, H), jnp.float32),      # h_last
@@ -130,7 +148,7 @@ def lstm_seq_fwd(xw, w_hh, h0, c0, lengths, interpret=None,
     step_block = lambda i: (i, 0, 0, 0)
     const3 = lambda i: (0, 0, 0)
     return pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, suffix_dirs=tuple(suffix_dirs)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -156,7 +174,8 @@ def lstm_seq_fwd(xw, w_hh, h0, c0, lengths, interpret=None,
 
 
 def _fwd_infer_kernel(lengths_ref, h0_ref, c0_ref, xw_ref, w_ref,
-                      ys_ref, hlast_ref, clast_ref, h_scr, c_scr):
+                      ys_ref, hlast_ref, clast_ref, h_scr, c_scr,
+                      *, suffix_dirs):
     """Forward without saved activations — the serving path (writes only
     the hidden outputs; ~2.5x less HBM write traffic than the training
     forward)."""
@@ -169,9 +188,8 @@ def _fwd_infer_kernel(lengths_ref, h0_ref, c0_ref, xw_ref, w_ref,
         h_scr[:] = h0_ref[:]
         c_scr[:] = c0_ref[:]
 
-    m = (lengths_ref[:] > t).astype(jnp.float32)
-
     for d in range(D):
+        m = _dir_mask(lengths_ref, t, T, suffix_dirs[d])
         h_prev = h_scr[d]
         c_prev = c_scr[d]
         gates = xw_ref[0, d].astype(jnp.float32) + jnp.dot(
@@ -193,17 +211,20 @@ def _fwd_infer_kernel(lengths_ref, h0_ref, c0_ref, xw_ref, w_ref,
         clast_ref[:] = c_scr[:]
 
 
-def lstm_seq_infer(xw, w_hh, h0, c0, lengths, interpret=None):
+def lstm_seq_infer(xw, w_hh, h0, c0, lengths, interpret=None,
+                   suffix_dirs=None):
     """Inference-only recurrence: returns (ys, h_last, c_last), no VJP."""
     if interpret is None:
         interpret = _interpret_default()
     T, D, B, G = xw.shape
     H = G // 4
+    if suffix_dirs is None:
+        suffix_dirs = (False,) * D
     lengths2 = lengths.reshape(B, 1).astype(jnp.int32)
     step_block = lambda i: (i, 0, 0, 0)
     const3 = lambda i: (0, 0, 0)
     return pl.pallas_call(
-        _fwd_infer_kernel,
+        functools.partial(_fwd_infer_kernel, suffix_dirs=tuple(suffix_dirs)),
         grid=(T,),
         in_specs=[
             pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -237,7 +258,7 @@ def lstm_seq_infer(xw, w_hh, h0, c0, lengths, interpret=None):
 def _bwd_kernel(lengths_ref, c0_ref, dhlast_ref, dclast_ref,
                 dys_ref, gates_ref, cs_ref, cs_prev_ref, wT_ref,
                 dxw_ref, dh0_ref, dc0_ref,
-                dh_scr, dc_scr):
+                dh_scr, dc_scr, *, suffix_dirs):
     T = pl.num_programs(0)
     k = pl.program_id(0)
     t = T - 1 - k
@@ -248,10 +269,10 @@ def _bwd_kernel(lengths_ref, c0_ref, dhlast_ref, dclast_ref,
         dh_scr[:] = dhlast_ref[:]
         dc_scr[:] = dclast_ref[:]
 
-    m = (lengths_ref[:] > t).astype(jnp.float32)  # (B, 1)
     first_step = t == 0
 
     for d in range(D):
+        m = _dir_mask(lengths_ref, t, T, suffix_dirs[d])  # (B, 1)
         dh = dh_scr[d]
         dc = dc_scr[d]
         g = gates_ref[0, d].astype(jnp.float32)
@@ -291,13 +312,15 @@ def _bwd_kernel(lengths_ref, c0_ref, dhlast_ref, dclast_ref,
 
 
 def lstm_seq_bwd(w_hh, c0, lengths, cs, gates, dys, dh_last, dc_last,
-                 interpret=None, save_dtype=jnp.bfloat16):
+                 interpret=None, save_dtype=jnp.bfloat16, suffix_dirs=None):
     """Reverse-time gradient kernel.
     Returns (dxw (T,D,B,4H) save_dtype, dh0, dc0)."""
     if interpret is None:
         interpret = _interpret_default()
     T, D, B, G = gates.shape
     H = G // 4
+    if suffix_dirs is None:
+        suffix_dirs = (False,) * D
     lengths2 = lengths.reshape(B, 1).astype(jnp.int32)
     wT = jnp.swapaxes(w_hh, 1, 2)  # (D, 4H, H)
 
@@ -307,7 +330,7 @@ def lstm_seq_bwd(w_hh, c0, lengths, cs, gates, dys, dh_last, dc_last,
     const3 = lambda k: (0, 0, 0)
 
     return pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, suffix_dirs=tuple(suffix_dirs)),
         grid=(T,),
         in_specs=[
             pl.BlockSpec((B, 1), lambda k: (0, 0), memory_space=pltpu.VMEM),
@@ -342,38 +365,62 @@ def lstm_seq_bwd(w_hh, c0, lengths, cs, gates, dys, dh_last, dc_last,
 # custom-VJP wrapper
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def lstm_seq(xw, w_hh, h0, c0, lengths, save_dtype=jnp.bfloat16):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def lstm_seq(xw, w_hh, h0, c0, lengths, save_dtype=jnp.bfloat16,
+             suffix_dirs=None):
     """Differentiable full-sequence LSTM recurrence (Pallas).
 
-    Returns (ys (T,D,B,H) f32, h_last (D,B,H), c_last (D,B,H)).
+    Returns (ys (T,D,B,H) save_dtype, h_last (D,B,H), c_last (D,B,H)).
     Gradients flow to xw, w_hh, h0, c0 (not lengths). save_dtype controls
     the saved-activation precision (and thus the backward's exactness).
+    suffix_dirs marks flipped-input directions (see module docstring);
+    it must be hashable (a tuple) — None means all-prefix.
     """
     ys, cs, gates, h_last, c_last = lstm_seq_fwd(xw, w_hh, h0, c0, lengths,
-                                                 save_dtype=save_dtype)
+                                                 save_dtype=save_dtype,
+                                                 suffix_dirs=suffix_dirs)
     return ys, h_last, c_last
 
 
-def _lstm_seq_fwd_rule(xw, w_hh, h0, c0, lengths, save_dtype):
+def _lstm_seq_fwd_rule(xw, w_hh, h0, c0, lengths, save_dtype, suffix_dirs):
     ys, cs, gates, h_last, c_last = lstm_seq_fwd(xw, w_hh, h0, c0, lengths,
-                                                 save_dtype=save_dtype)
+                                                 save_dtype=save_dtype,
+                                                 suffix_dirs=suffix_dirs)
     # zero-size carrier records xw's dtype for the cotangent cast
     xw_dtype_probe = jnp.zeros((0,), xw.dtype)
     return (ys, h_last, c_last), (xw_dtype_probe, w_hh, h0, c0, lengths, ys, cs, gates)
 
 
-def _lstm_seq_bwd_rule(save_dtype, res, cotangents):
+def _lstm_seq_bwd_rule(save_dtype, suffix_dirs, res, cotangents):
     xw_dtype_probe, w_hh, h0, c0, lengths, ys, cs, gates = res
     xw_dtype = xw_dtype_probe.dtype
     dys, dh_last, dc_last = cotangents
     dxw, dh0, dc0 = lstm_seq_bwd(w_hh, c0, lengths, cs, gates,
                                  dys, dh_last, dc_last,
-                                 save_dtype=save_dtype)
+                                 save_dtype=save_dtype,
+                                 suffix_dirs=suffix_dirs)
     # dW_hh = sum_t h_{t-1}^T dgates_t. ys stores m*h_new which differs from
     # the true carried h_{t-1} only at masked steps — where dgates is zero —
-    # so the shifted ys (with h0 in front) is a valid h_{t-1} sequence.
-    h_prev = jnp.concatenate([h0[None], ys[:-1]], axis=0)  # (T, D, B, H)
+    # so the shifted ys is a valid h_{t-1} sequence once the initial state
+    # is patched in: for prefix directions that is t=0; for suffix
+    # directions the carried state is still h0 at every step up to and
+    # including the first valid one (t0 = T - length), where shifted ys
+    # reads 0.
+    T, D = ys.shape[0], ys.shape[1]
+    if suffix_dirs is None:
+        suffix_dirs = (False,) * D
+    ys_shift = jnp.concatenate([jnp.zeros_like(ys[:1]), ys[:-1]], axis=0)
+    h_prev_dirs = []
+    for d in range(D):
+        if suffix_dirs[d]:
+            in_h0_zone = (jnp.arange(T)[:, None]
+                          <= (T - lengths)[None, :])  # (T, B)
+            h_prev_d = jnp.where(in_h0_zone[:, :, None], h0[d][None],
+                                 ys_shift[:, d])
+        else:
+            h_prev_d = jnp.concatenate([h0[None, d], ys[:-1, d]], axis=0)
+        h_prev_dirs.append(h_prev_d)
+    h_prev = jnp.stack(h_prev_dirs, axis=1)  # (T, D, B, H)
     dw_hh = jnp.einsum("tdbh,tdbg->dhg",
                        h_prev.astype(save_dtype),
                        dxw.astype(save_dtype),

@@ -46,7 +46,9 @@ def _setup(T=12, D=2, B=4, H=8, seed=0):
 
 def test_forward_matches_reference():
     xw, w, h0, c0, lengths = _setup()
-    ys, h_last, c_last = lstm_seq(xw, w, h0, c0, lengths)
+    # f32 saved activations -> exact ys (default bf16 trades ys precision
+    # for HBM traffic on the perf path)
+    ys, h_last, c_last = lstm_seq(xw, w, h0, c0, lengths, jnp.float32)
     ys_ref, h_ref, c_ref = _reference_lstm(xw, w, h0, c0, lengths)
     np.testing.assert_allclose(np.asarray(ys), np.asarray(ys_ref), atol=2e-5)
     np.testing.assert_allclose(np.asarray(h_last), np.asarray(h_ref), atol=2e-5)
@@ -57,6 +59,7 @@ def test_forward_saved_activations_shapes():
     xw, w, h0, c0, lengths = _setup()
     ys, cs, gates, h_last, c_last = lstm_seq_fwd(xw, w, h0, c0, lengths)
     assert cs.shape == ys.shape
+    assert ys.dtype == jnp.bfloat16  # save_dtype governs ys too
     assert gates.shape == xw.shape and gates.dtype == jnp.bfloat16
 
 
@@ -79,7 +82,9 @@ def test_gradients_match_reference(save_dtype, tol):
 
     lp, gp = jax.value_and_grad(loss_pallas, argnums=(0, 1, 2, 3))(xw, w, h0, c0)
     lr, gr = jax.value_and_grad(loss_ref, argnums=(0, 1, 2, 3))(xw, w, h0, c0)
-    np.testing.assert_allclose(float(lp), float(lr), rtol=1e-5)
+    # with bf16 saved activations the loss itself is computed on bf16 ys
+    np.testing.assert_allclose(float(lp), float(lr),
+                               rtol=1e-5 if save_dtype == jnp.float32 else 2e-3)
     names = ["dxw", "dw_hh", "dh0", "dc0"]
     for name, a, b in zip(names, gp, gr):
         a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
@@ -93,7 +98,7 @@ def test_gradient_masked_steps_zero():
     xw, w, h0, c0, lengths = _setup()
 
     def loss(xw):
-        ys, h_last, c_last = lstm_seq(xw, w, h0, c0, lengths)
+        ys, h_last, c_last = lstm_seq(xw, w, h0, c0, lengths, jnp.float32)
         return jnp.sum(ys ** 2) + jnp.sum(h_last ** 2)
 
     dxw = np.asarray(jax.grad(loss)(xw))
@@ -105,8 +110,50 @@ def test_gradient_masked_steps_zero():
 def test_infer_kernel_matches_training_forward():
     from speech_separation_tpu.ops.lstm_pallas import lstm_seq_infer
     xw, w, h0, c0, lengths = _setup(seed=5)
-    ys_t, h_t, c_t = lstm_seq(xw, w, h0, c0, lengths)
+    ys_t, h_t, c_t = lstm_seq(xw, w, h0, c0, lengths, jnp.float32)
     ys_i, h_i, c_i = lstm_seq_infer(xw, w, h0, c0, lengths)
     np.testing.assert_allclose(np.asarray(ys_i), np.asarray(ys_t), atol=1e-6)
     np.testing.assert_allclose(np.asarray(h_i), np.asarray(h_t), atol=1e-6)
     np.testing.assert_allclose(np.asarray(c_i), np.asarray(c_t), atol=1e-6)
+
+
+def test_suffix_direction_gradients_match_reference():
+    """suffix_dirs marks flipped-input directions (the BLSTM backward
+    direction): forward and gradients must match a scan reference built on
+    the same flip + suffix-mask formulation."""
+    xw, w, h0, c0, lengths = _setup(T=10, D=2, B=4, H=8, seed=3)
+    T = xw.shape[0]
+
+    def ref(xw, w, h0, c0, lengths):
+        mask_f = (jnp.arange(T)[:, None] < lengths[None, :]).astype(jnp.float32)
+        mask_b = jnp.flip(mask_f, axis=0)  # suffix mask
+        mask = jnp.stack([mask_f, mask_b], axis=1)[:, :, :, None]
+
+        def step(carry, inp):
+            h, c = carry
+            xw_t, m = inp
+            gates = xw_t + jnp.matmul(h, w, preferred_element_type=jnp.float32)
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+            return (m * h_new + (1 - m) * h, m * c_new + (1 - m) * c), m * h_new
+
+        (hT, cT), ys = jax.lax.scan(step, (h0, c0), (xw, mask))
+        return ys, hT, cT
+
+    def loss_k(xw, w, h0, c0):
+        ys, hl, cl = lstm_seq(xw, w, h0, c0, lengths, jnp.float32,
+                              (False, True))
+        return jnp.sum(ys ** 2) + jnp.sum(hl * cl)
+
+    def loss_r(xw, w, h0, c0):
+        ys, hl, cl = ref(xw, w, h0, c0, lengths)
+        return jnp.sum(ys ** 2) + jnp.sum(hl * cl)
+
+    lk, gk = jax.value_and_grad(loss_k, argnums=(0, 1, 2, 3))(xw, w, h0, c0)
+    lr, gr = jax.value_and_grad(loss_r, argnums=(0, 1, 2, 3))(xw, w, h0, c0)
+    np.testing.assert_allclose(float(lk), float(lr), rtol=1e-5)
+    for a, b in zip(gk, gr):
+        scale = max(1.0, float(jnp.max(jnp.abs(b))))
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=1e-5)
