@@ -167,7 +167,8 @@ def cmd_separate(args):
 
 def cmd_score(args):
     from ..eval import evaluate_sources
-    evaluate_sources(args.data_dir, args.exp_dir, num_workers=args.nj)
+    evaluate_sources(args.data_dir, args.exp_dir, num_workers=args.nj,
+                     device=args.device_scoring)
 
 
 def cmd_oracle(args):
@@ -346,7 +347,7 @@ def cmd_run_eval(args):
                 means = evaluate_sources(
                     data_dir,
                     os.path.join(args.model_dir, f"output_{model}", ds),
-                    num_workers=args.nj)
+                    num_workers=args.nj, device=args.device_scoring)
                 print(f"{ds} mean SDR: {means['SDR']:.2f}")
         return
 
@@ -393,7 +394,7 @@ def cmd_run_eval(args):
             means = evaluate_sources(
                 os.path.join(args.data_root, ds),
                 os.path.join(args.model_dir, f"output_{model}", ds),
-                num_workers=args.nj)
+                num_workers=args.nj, device=args.device_scoring)
             print(f"{ds} mean SDR: {means['SDR']:.2f}")
 
 
@@ -527,6 +528,10 @@ def build_parser():
     p.add_argument("data_dir")
     p.add_argument("exp_dir")
     p.add_argument("--nj", type=int, default=0)
+    p.add_argument("--device-scoring", action="store_true",
+                   help="batched BSS-eval on the accelerator (two-float "
+                        "arithmetic, within 0.1 dB of host float64; the "
+                        "fast path for large test sets)")
     p.set_defaults(fn=cmd_score)
 
     p = sub.add_parser("oracle", help="oracle-mask upper bound eval")
@@ -565,6 +570,8 @@ def build_parser():
     p.add_argument("--featdir", default="feats")
     p.add_argument("--on-device-features", action="store_true",
                    help="fused wav->wav separation (no feature/mask files)")
+    p.add_argument("--device-scoring", action="store_true",
+                   help="batched BSS-eval on the accelerator")
     _add_common(p)
     _add_stft(p)
     p.set_defaults(fn=cmd_run_eval)

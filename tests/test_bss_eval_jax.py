@@ -58,3 +58,41 @@ def test_batch_permutation_recovery():
         flen=32)
     assert perm[0].tolist() == [1, 0]
     assert np.all(sdr[0] > 60.0)
+
+
+def _ar1(rng, n, rho=0.95):
+    x = np.empty(n)
+    x[0] = rng.standard_normal()
+    eps = rng.standard_normal(n)
+    for t in range(1, n):
+        x[t] = rho * x[t - 1] + eps[t]
+    return x / np.std(x)
+
+
+def test_ar_material_within_0p1_db_of_host_f64():
+    """VERDICT round-1 weak #5 done-criterion: on strongly-correlated
+    AR(0.95) material (the hard case — near-singular delayed-source Gram)
+    the two-float device scorer agrees with the float64 host scorer to
+    0.1 dB in SDR, SIR AND SAR at the production flen=512."""
+    rng = np.random.default_rng(42)
+    L, flen = 6000, 512
+    cases = []
+    for _ in range(2):
+        refs = np.stack([_ar1(rng, L), _ar1(rng, L)])
+        ests = np.stack([
+            refs[0] + 0.3 * refs[1] + 0.05 * rng.standard_normal(L),
+            refs[1] + 0.25 * refs[0] + 0.05 * rng.standard_normal(L),
+        ])
+        cases.append((refs, ests))
+    refs_b = np.stack([c[0] for c in cases]).astype(np.float32)
+    ests_b = np.stack([c[1] for c in cases]).astype(np.float32)
+
+    sdr, sir, sar, perm = bss_eval_sources_batch(refs_b, ests_b, flen=flen)
+    for b, (refs, ests) in enumerate(cases):
+        # f64 host reference on the same f32-quantized inputs
+        sdr_np, sir_np, sar_np, perm_np = bss_eval_sources(
+            refs_b[b], ests_b[b], flen=flen)
+        np.testing.assert_array_equal(perm[b], perm_np)
+        np.testing.assert_allclose(sdr[b], sdr_np, atol=0.1, err_msg="SDR")
+        np.testing.assert_allclose(sir[b], sir_np, atol=0.1, err_msg="SIR")
+        np.testing.assert_allclose(sar[b], sar_np, atol=0.1, err_msg="SAR")
