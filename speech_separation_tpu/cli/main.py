@@ -97,10 +97,20 @@ def _extract(data_dir, data_type, feat_dir, args):
         merge_shard_outputs(data_dir, split_dir, data_type, nj)
     else:
         extract_features(data_dir, data_type, feat_dir, cfg)
+    if getattr(args, "pack_cache", False) and data_type == "train":
+        from ..train.feature_cache import pack_features
+        pack_features(data_dir, data_type, dtype=getattr(
+            args, "cache_dtype", "float32"))
 
 
 def cmd_extract(args):
     _extract(args.data_dir, args.data_type, args.feat_dir, args)
+
+
+def cmd_pack_features(args):
+    from ..train.feature_cache import pack_features
+    pack_features(args.data_dir, args.data_type,
+                  cache_path=args.cache_path or None, dtype=args.dtype)
 
 
 def cmd_train(args):
@@ -474,7 +484,21 @@ def build_parser():
     p.add_argument("data_type", choices=["train", "test"])
     p.add_argument("feat_dir")
     _add_stft(p)
+    p.add_argument("--pack-cache", action="store_true",
+                   help="also pack a flat mmap feature cache (train only)")
+    p.add_argument("--cache-dtype", default="float32",
+                   choices=["float32", "float16"])
     p.set_defaults(fn=cmd_extract)
+
+    p = sub.add_parser("pack-features",
+                       help="pack npz features into one mmap cache file "
+                            "(fast repeated-epoch input at 100k scale)")
+    p.add_argument("data_dir")
+    p.add_argument("data_type", choices=["train"])
+    p.add_argument("--cache-path", default="")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "float16"])
+    p.set_defaults(fn=cmd_pack_features)
 
     p = sub.add_parser("train", help="train a separation model")
     p.add_argument("arch")

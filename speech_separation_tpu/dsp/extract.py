@@ -31,7 +31,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from .stft import (STFTConfig, num_frames, reflect_pad_center,
-                   stft_centered_batch)
+                   stft_centered_batch, stft_magnitude_batch)
 from ..datadir.scp import read_scp, read_segments, source_wavs_for_mix
 from ..utils.audio import load_wav
 
@@ -49,12 +49,15 @@ class _BatchedSTFT:
     """
 
     def __init__(self, cfg: STFTConfig, max_rows: int = 64,
-                 pad_quantum: int = 16384):
+                 pad_quantum: int = 16384, magnitude: bool = False):
         self.cfg = cfg
         self.max_rows = max_rows
         self.pad_quantum = pad_quantum
+        # magnitude mode (train features): |STFT| computed on device —
+        # halves the device->host bytes and keeps the sqrt off the host CPU
+        self.magnitude = magnitude
         self._pending: list[tuple[np.ndarray, object]] = []  # (signal, token)
-        self._results: dict[object, tuple[np.ndarray, np.ndarray]] = {}
+        self._results: dict[object, np.ndarray | tuple] = {}
 
     def add(self, signal: np.ndarray, token) -> None:
         self._pending.append((signal, token))
@@ -73,12 +76,20 @@ class _BatchedSTFT:
         for i, (s, _) in enumerate(self._pending):
             padded = reflect_pad_center(s, cfg.n_fft)
             xp[i, : len(padded)] = padded
-        re, im = stft_centered_batch(jnp.asarray(xp), cfg.n_fft, cfg.hop, n_t)
-        re, im = np.asarray(re), np.asarray(im)
-        for i, (s, token) in enumerate(self._pending):
-            T_i = num_frames(len(s), cfg.hop)
-            # (freq, time) layout like librosa
-            self._results[token] = (re[i, :T_i].T, im[i, :T_i].T)
+        if self.magnitude:
+            mag = np.asarray(stft_magnitude_batch(jnp.asarray(xp), cfg.n_fft,
+                                                  cfg.hop, n_t))
+            for i, (s, token) in enumerate(self._pending):
+                T_i = num_frames(len(s), cfg.hop)
+                self._results[token] = mag[i, :T_i].T  # (freq, time)
+        else:
+            re, im = stft_centered_batch(jnp.asarray(xp), cfg.n_fft,
+                                         cfg.hop, n_t)
+            re, im = np.asarray(re), np.asarray(im)
+            for i, (s, token) in enumerate(self._pending):
+                T_i = num_frames(len(s), cfg.hop)
+                # (freq, time) layout like librosa
+                self._results[token] = (re[i, :T_i].T, im[i, :T_i].T)
         self._pending.clear()
 
     def pop(self, token) -> tuple[np.ndarray, np.ndarray]:
@@ -102,7 +113,7 @@ def extract_features(data_dir: str, data_type: str, feat_dir: str,
     segments = read_segments(seg_path) if os.path.isfile(seg_path) else None
 
     wav_entries = read_scp(os.path.join(data_dir, "wav.scp" + job_suffix))
-    stft = _BatchedSTFT(cfg)
+    stft = _BatchedSTFT(cfg, magnitude=(data_type == "train"))
 
     feat_lines: list[tuple[str, str]] = []
     spk_lines: list[tuple[str, str]] = []
@@ -120,13 +131,13 @@ def extract_features(data_dir: str, data_type: str, feat_dir: str,
             file_dict = {}
             n_frames_mix = None
             for key, token in tokens.items():
-                re, im = stft.pop(token)
-                # ascontiguousarray: re/im are transposed views; without it
+                # ascontiguousarray: results are transposed views; without it
                 # numpy stores the member fortran_order and every reader pays
                 if data_type == "train":
                     file_dict[key] = np.ascontiguousarray(
-                        np.sqrt(re * re + im * im), dtype=np.float32)
+                        stft.pop(token), dtype=np.float32)
                 else:
+                    re, im = stft.pop(token)
                     file_dict[key] = np.ascontiguousarray(
                         re + 1j * im, dtype=np.complex64)
                 if key == "mix":

@@ -64,6 +64,20 @@ class FeatureDataset:
                                      copy_location)
             self.entries = [(utt, mapping.get(path, path))
                             for utt, path in self.entries]
+        self.cache = None
+        if not copy_location:
+            # packed mmap cache (train/feature_cache.py): collation becomes
+            # slice copies from the page cache — the 100k-scale path
+            from .feature_cache import open_cache
+            try:
+                self.cache = open_cache(data_dir, kind)
+            except Exception:
+                self.cache = None
+        if self.cache is not None:
+            self.num_frames = self.cache.num_frames
+            self.num_spks = self.cache.num_spk
+            self._feat_dim = self.cache.feat_dim
+            return
         self.num_frames = None
         nf_path = os.path.join(data_dir, "utt2num_frames")
         if os.path.isfile(nf_path):
@@ -96,6 +110,8 @@ class FeatureDataset:
         """Returns {'mix': (T, F) float32, 'sources': (S, T, F) float32}
         for train; {'mix': (T, F) float32 magnitude, 'spec': (F, T)
         complex64, 'name': str} for test."""
+        if self.cache is not None:
+            return self.cache.load(idx)
         utt, path = self.entries[idx]
         feat = np.load(path)
         if self.kind == "train":
@@ -263,6 +279,9 @@ def collate_native(dataset: FeatureDataset, idxs: list[int],
 
 
 def _collate(dataset: FeatureDataset, idxs: list[int], plan: BatchPlan) -> dict:
+    if getattr(dataset, "cache", None) is not None and dataset.kind == "train":
+        return dataset.cache.collate(idxs, plan.time_pad_multiple,
+                                     pad_rows_to=plan.batch_size)
     from ..utils import native
     if dataset.num_frames is not None and native.available():
         return collate_native(dataset, idxs, plan)

@@ -90,6 +90,16 @@ def make_optimizer(cfg: TrainLoopConfig):
     )
 
 
+def _upcast_features(batch: dict) -> dict:
+    """Features may ship half-precision (an f16 packed cache — half the
+    host->device bytes); the loss math runs f32, so upcast on device."""
+    out = dict(batch)
+    for k in ("mix", "sources", "combo"):
+        if k in out and out[k].dtype == jnp.float16:
+            out[k] = out[k].astype(jnp.float32)
+    return out
+
+
 def make_update_step(arch, model_cfg, optimizer, stft_cfg: STFTConfig | None = None):
     """One jit'd train step: grads of (loss/norm), clip, Adam, BN update.
     With stft_cfg set, the batch carries waveforms and the feature
@@ -102,6 +112,7 @@ def make_update_step(arch, model_cfg, optimizer, stft_cfg: STFTConfig | None = N
         if stft_cfg is not None:
             from .wav_data import audio_to_feature_batch
             batch = audio_to_feature_batch(batch, stft_cfg)
+        batch = _upcast_features(batch)
 
         def lossf(p):
             loss, aux = arch.loss_fn(model_cfg, p, state, batch, rng, True)
@@ -124,6 +135,8 @@ def make_grad_step(arch, model_cfg):
 
     @jax.jit
     def gstep(params, state, batch, rng):
+        batch = _upcast_features(batch)
+
         def lossf(p):
             _, aux = arch.loss_fn(model_cfg, p, state, batch, rng, True)
             return aux["total"], aux
@@ -154,6 +167,7 @@ def make_eval_step(arch, model_cfg, stft_cfg: STFTConfig | None = None):
         if stft_cfg is not None:
             from .wav_data import audio_to_feature_batch
             batch = audio_to_feature_batch(batch, stft_cfg)
+        batch = _upcast_features(batch)
         loss, aux = arch.loss_fn(model_cfg, params, state, batch, rng, False)
         return loss, aux["norm"]
 
