@@ -124,25 +124,40 @@ class FeatureCache:
         self.num_spk = idx["num_spk"]
         self.feat_dim = int(idx["feat_dim"])
         self.dtype = np.dtype(str(idx["dtype"]))
-        self._mm = np.memmap(self.bin_path, dtype=np.uint8, mode="r")
+        # pread, not mmap: per-page minor faults make mapped reads ~2-3x
+        # slower than one bulk pread per record on 1-CPU TPU hosts
+        # (measured in the 20k scale run, docs/performance.md)
+        self._fd = os.open(self.bin_path, os.O_RDONLY)
+        size = os.fstat(self._fd).st_size
         expect = int(self.offsets[-1]) + (1 + int(self.num_spk[-1])) * \
             int(self.num_frames[-1]) * self.feat_dim * self.dtype.itemsize
-        if self._mm.size != expect:
+        if size != expect:
+            os.close(self._fd)
             raise ValueError(
-                f"cache {self.bin_path} is {self._mm.size} bytes, "
+                f"cache {self.bin_path} is {size} bytes, "
                 f"index expects {expect} (stale or truncated cache)")
+
+    def __del__(self):
+        if getattr(self, "_fd", None) is not None:
+            try:
+                os.close(self._fd)
+            except OSError:
+                pass
+            self._fd = None
 
     def __len__(self):
         return len(self.ids)
 
     def record(self, i: int) -> np.ndarray:
-        """(1+S, T, F) view into the mapped file (mix first, then sources)."""
+        """(1+S, T, F) array for one utterance (mix first, then sources)."""
         T = int(self.num_frames[i])
         S = int(self.num_spk[i])
-        count = (1 + S) * T * self.feat_dim
-        arr = np.frombuffer(self._mm, dtype=self.dtype, count=count,
-                            offset=int(self.offsets[i]))
-        return arr.reshape(1 + S, T, self.feat_dim)
+        nbytes = (1 + S) * T * self.feat_dim * self.dtype.itemsize
+        buf = os.pread(self._fd, nbytes, int(self.offsets[i]))
+        if len(buf) != nbytes:
+            raise IOError(f"short read at record {i} of {self.bin_path}")
+        return np.frombuffer(buf, dtype=self.dtype).reshape(
+            1 + S, T, self.feat_dim)
 
     def load(self, i: int) -> dict:
         """Same contract as FeatureDataset.load (train kind)."""
@@ -167,15 +182,22 @@ class FeatureCache:
         sources = np.zeros((B, S, T, F), self.dtype)
         lengths = np.zeros((B,), np.int32)
         row_mask = np.zeros((B,), np.float32)
-        names = []
-        for row, i in enumerate(idxs):
-            rec = self.record(i)
-            t = rec.shape[1]
-            mix[row, :t] = rec[0]
-            sources[row, : rec.shape[0] - 1, :t] = rec[1:]
+        names = [""] * len(idxs)
+        # one preadv per record scatters the file bytes straight into the
+        # padded buffers (mix row, then each source row) — no intermediate
+        # arrays; offset order maximizes readahead
+        for row in sorted(range(len(idxs)),
+                          key=lambda r: int(self.offsets[idxs[r]])):
+            i = idxs[row]
+            t = int(self.num_frames[i])
+            s_i = int(self.num_spk[i])
+            bufs = [mix[row, :t]] + [sources[row, s, :t] for s in range(s_i)]
+            nbytes = (1 + s_i) * t * F * self.dtype.itemsize
+            if os.preadv(self._fd, bufs, int(self.offsets[i])) != nbytes:
+                raise IOError(f"short read at record {i} of {self.bin_path}")
             lengths[row] = t
             row_mask[row] = 1.0
-            names.append(self.ids[i])
+            names[row] = self.ids[i]
         return {"mix": mix, "sources": sources, "lengths": lengths,
                 "row_mask": row_mask, "names": names}
 

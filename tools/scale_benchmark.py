@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--max-sec", type=float, default=4.0)
     ap.add_argument("--batch-size", type=int, default=100)
     ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--train-f16", action="store_true",
+                    help="also train 2 epochs from the f16 cache "
+                         "(half the host->device bytes)")
     ap.add_argument("--input-only-batches", type=int, default=0,
                     help="cap batches in the input-only passes (0 = all)")
     args = ap.parse_args()
@@ -93,9 +96,14 @@ def main():
         print(f"# extract: {results['extract_utts_per_sec']} utts/s")
 
     # ---- 3. pack cache ----
-    t0 = time.time()
-    bin_path = pack_features(data_dir, "train")
-    results["pack_s"] = round(time.time() - t0, 1)
+    from speech_separation_tpu.train.feature_cache import open_cache
+    existing = open_cache(data_dir, "train") if args.reuse else None
+    if existing is not None and existing.dtype == np.float32:
+        bin_path = existing.bin_path
+    else:
+        t0 = time.time()
+        bin_path = pack_features(data_dir, "train")
+        results["pack_s"] = round(time.time() - t0, 1)
     results["cache_gb"] = round(os.path.getsize(bin_path) / 1e9, 2)
 
     # ---- 4. input-only epoch per mode ----
@@ -138,22 +146,26 @@ def main():
         "packed_cache": input_epoch("packed cache"),
     }
     # f16 cache: half the bytes through the page cache and memcpy
-    pack_features(data_dir, "train",
-                  cache_path=os.path.join(feat_dir, "feats_train.f16.bin"),
-                  dtype="float16")
+    from speech_separation_tpu.train.feature_cache import pointer_path
+    f16_bin = os.path.join(feat_dir, "feats_train.f16.bin")
+    if not os.path.isfile(f16_bin + ".idx.npz"):
+        pack_features(data_dir, "train", cache_path=f16_bin, dtype="float16")
+    with open(pointer_path(data_dir, "train"), "w") as f:
+        f.write(f16_bin + "\n")
     results["input_only"]["packed_cache_f16"] = input_epoch("packed cache f16")
-    pack_features(data_dir, "train")  # restore the f32 cache as the default
+    with open(pointer_path(data_dir, "train"), "w") as f:  # restore f32
+        f.write(bin_path + "\n")
 
     # ---- 5. full training epochs on the device ----
-    if not args.skip_train:
+    def train_epochs(tag, exp_name):
         from speech_separation_tpu.train.loop import TrainLoopConfig, train
-        exp_dir = os.path.join(work, "exp", "scale_upit")
+        exp_dir = os.path.join(work, "exp", exp_name)
         lines: list[str] = []
 
         def log(msg):
             lines.append(str(msg))
             if "wall" in str(msg) or "loss is" in str(msg):
-                print(f"# {msg}")
+                print(f"# [{tag}] {msg}")
 
         cfg = TrainLoopConfig(arch="uPIT", batch_size=args.batch_size,
                               num_epochs=2, cv_every=1000,
@@ -162,14 +174,31 @@ def main():
         t0 = time.time()
         train(data_dir, exp_dir, cfg,
               model_kwargs={"compute_dtype": "bfloat16"}, log=log)
-        results["train_total_s"] = round(time.time() - t0, 1)
+        out = {"total_s": round(time.time() - t0, 1)}
         walls = [float(m.group(1)) for line in lines
                  for m in [re.search(r"wall: ([\d.]+)s", line)] if m]
         if len(walls) >= 2:
-            results["epoch1_s"], results["epoch2_s"] = walls[0], walls[1]
-            results["train_utts_per_sec_warm"] = round(N / walls[1], 1)
-            print(f"# full-epoch (warm): {results['train_utts_per_sec_warm']}"
+            out["epoch1_s"], out["epoch2_s"] = walls[0], walls[1]
+            out["utts_per_sec_warm"] = round(N / walls[1], 1)
+            print(f"# [{tag}] full-epoch (warm): {out['utts_per_sec_warm']}"
                   f" utts/s end-to-end")
+        return out
+
+    if not args.skip_train:
+        results["train_f32_cache"] = train_epochs("f32", "scale_upit")
+    if args.train_f16:
+        from speech_separation_tpu.train.feature_cache import pointer_path
+        f16_bin = os.path.join(feat_dir, "feats_train.f16.bin")
+        if not os.path.isfile(f16_bin + ".idx.npz"):
+            pack_features(data_dir, "train", cache_path=f16_bin,
+                          dtype="float16")
+        with open(pointer_path(data_dir, "train"), "w") as f:
+            f.write(f16_bin + "\n")
+        try:
+            results["train_f16_cache"] = train_epochs("f16", "scale_upit_f16")
+        finally:  # restore the f32 pointer (the bin is already on disk)
+            with open(pointer_path(data_dir, "train"), "w") as f:
+                f.write(os.path.join(feat_dir, "feats_train.cache.bin") + "\n")
 
     out_dir = os.path.join(os.path.dirname(HERE), "scale_test")
     os.makedirs(out_dir, exist_ok=True)
