@@ -23,19 +23,21 @@ import time
 import numpy as np
 
 
-def bench_train_step(B=100, T=384, iters=20, compute_dtype="bfloat16"):
+def bench_train_step(B=100, T=384, iters=20, compute_dtype="bfloat16",
+                     arch_name="uPIT"):
     import jax
     import jax.numpy as jnp
-    from speech_separation_tpu.models import upit
+    from speech_separation_tpu.models import rsh, upit
     from speech_separation_tpu.train.loop import (TrainLoopConfig,
                                                   make_optimizer,
                                                   make_update_step)
 
-    cfg = upit.Config(compute_dtype=compute_dtype)
-    params, state = upit.init(jax.random.PRNGKey(0), cfg)
+    arch = upit if arch_name == "uPIT" else rsh
+    cfg = arch.Config(compute_dtype=compute_dtype)
+    params, state = arch.init(jax.random.PRNGKey(0), cfg)
     optimizer = make_optimizer(TrainLoopConfig())
     opt_state = optimizer.init(params)
-    step = make_update_step(upit, cfg, optimizer)
+    step = make_update_step(arch, cfg, optimizer)
 
     rng = np.random.default_rng(0)
     S, F = cfg.num_spk, cfg.feat_dim
@@ -103,6 +105,18 @@ def main():
     sys.path.insert(0, here)
     from speech_separation_tpu.utils.compile_cache import enable_compilation_cache
     enable_compilation_cache()  # compile_s is ~0 on a warm cache
+
+    if "--rsh" in sys.argv:
+        # side measurement (not the headline): RSH full train step —
+        # S sequential extraction passes + greedy assignment + backward
+        res = bench_train_step(arch_name="RSH")
+        print(json.dumps({"metric": "RSH train throughput (B=100, T=384, "
+                                    "S=2, 2x600 BLSTM, full step, bf16+pallas)",
+                          "value": round(res["utts_per_sec"], 2),
+                          "unit": "utts/sec/chip",
+                          "detail": {"step_ms": round(res["step_ms"], 2),
+                                     "compile_s": round(res["compile_s"], 1)}}))
+        return
     baseline_path = os.path.join(here, "tools", "baseline_measured.json")
     baseline_utts = None
     if os.path.isfile(baseline_path):

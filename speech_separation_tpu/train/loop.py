@@ -90,6 +90,19 @@ def make_optimizer(cfg: TrainLoopConfig):
     )
 
 
+def _step_compiler_options(arch, model_cfg) -> dict | None:
+    """RSH's bf16 backward Pallas kernel needs ~17 MB of scoped VMEM at
+    reference scale (B=100, H=600): the cross-pass hidden carryover keeps
+    the dh0/dc0 kernel outputs alive, pushing the stack past the 16 MB
+    default by ~5%. Raise the limit for that configuration only (TPU-only
+    flag; uPIT fits the default and is left untouched)."""
+    if (arch.NAME == "RSH"
+            and getattr(model_cfg, "compute_dtype", "") == "bfloat16"
+            and jax.devices()[0].platform == "tpu"):
+        return {"xla_tpu_scoped_vmem_limit_kib": "20480"}
+    return None
+
+
 def _upcast_features(batch: dict) -> dict:
     """Features may ship half-precision (an f16 packed cache — half the
     host->device bytes); the loss math runs f32, so upcast on device."""
@@ -107,7 +120,8 @@ def make_update_step(arch, model_cfg, optimizer, stft_cfg: STFTConfig | None = N
 
     # donate params/state/opt_state: their HBM buffers are updated in place
     # instead of double-buffered (the caller reassigns them every step)
-    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    @partial(jax.jit, donate_argnums=(0, 1, 2),
+             compiler_options=_step_compiler_options(arch, model_cfg))
     def step(params, state, opt_state, batch, rng):
         if stft_cfg is not None:
             from .wav_data import audio_to_feature_batch
@@ -133,7 +147,7 @@ def make_grad_step(arch, model_cfg):
     norms are data-only, d/dp = (sum_sb d total_sb/dp) / total_norm — the
     caller sums these grads and apply_step divides once."""
 
-    @jax.jit
+    @partial(jax.jit, compiler_options=_step_compiler_options(arch, model_cfg))
     def gstep(params, state, batch, rng):
         batch = _upcast_features(batch)
 
