@@ -56,6 +56,29 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _time_block(T: int) -> int:
+    """Timesteps per grid step. Larger blocks amortize the per-grid-step
+    overhead (DMA issue + grid bookkeeping were measured at ~3-5 us of the
+    ~15 us step, docs/performance.md); the VMEM cost is K x the per-step
+    blocks, well within the chip's measured ~112 MB usable VMEM (the 16 MB
+    figure is only the default scoped limit). SEPSEP_LSTM_BLOCK caps the
+    preferred block size (tuning knob; 1 recovers the unblocked kernel)."""
+    import os
+    pref = int(os.environ.get("SEPSEP_LSTM_BLOCK", "8"))
+    for k in (16, 8, 4, 2):
+        if k <= pref and T % k == 0:
+            return k
+    return 1
+
+
+def _vmem_limit(*block_bytes: int) -> int:
+    """Kernel VMEM budget: double-buffered grid blocks + a fixed margin for
+    the resident weights/state/scratch. Clamped under the ~112 MB that the
+    hardware actually accepts (probed on v5 lite)."""
+    total = 2 * sum(block_bytes) + 24 * 1024 * 1024
+    return min(max(total, 32 * 1024 * 1024), 100 * 1024 * 1024)
+
+
 # ---------------------------------------------------------------------------
 # forward kernel
 # ---------------------------------------------------------------------------
@@ -71,38 +94,47 @@ def _dir_mask(lengths_ref, t, T, suffix: bool):
 
 def _fwd_kernel(lengths_ref, h0_ref, c0_ref, xw_ref, w_ref,
                 ys_ref, cs_ref, gates_ref, hlast_ref, clast_ref,
-                h_scr, c_scr, *, suffix_dirs):
-    T = pl.num_programs(0)
-    t = pl.program_id(0)
+                h_scr, c_scr, *, suffix_dirs, K):
+    Tb = pl.num_programs(0)
+    b = pl.program_id(0)
+    T = Tb * K
     D, B, H = h_scr.shape
 
-    @pl.when(t == 0)
+    @pl.when(b == 0)
     def _():
         h_scr[:] = h0_ref[:]
         c_scr[:] = c0_ref[:]
 
-    for d in range(D):  # static unroll over directions
-        m = _dir_mask(lengths_ref, t, T, suffix_dirs[d])  # (B, 1)
-        h_prev = h_scr[d]
-        c_prev = c_scr[d]
-        gates = xw_ref[0, d].astype(jnp.float32) + jnp.dot(
-            h_prev.astype(w_ref.dtype), w_ref[d],
-            preferred_element_type=jnp.float32)  # (B, 4H)
-        ia = jax.nn.sigmoid(gates[:, :H])
-        fa = jax.nn.sigmoid(gates[:, H:2 * H])
-        ga = jnp.tanh(gates[:, 2 * H:3 * H])
-        oa = jax.nn.sigmoid(gates[:, 3 * H:])
-        c_new = fa * c_prev + ia * ga
-        h_new = oa * jnp.tanh(c_new)
+    for kk in range(K):  # static unroll over the block's timesteps
+        t = b * K + kk
+        # issue both directions' recurrent matmuls before either VPU gate
+        # chain: the d=1 matmul has no dependence on d=0's outputs, so the
+        # MXU can run it while the VPU chews through d=0's nonlinearities
+        pre = []
+        for d in range(D):
+            pre.append(xw_ref[kk, d].astype(jnp.float32) + jnp.dot(
+                h_scr[d].astype(w_ref.dtype), w_ref[d],
+                preferred_element_type=jnp.float32))  # (B, 4H)
+        for d in range(D):  # static unroll over directions
+            m = _dir_mask(lengths_ref, t, T, suffix_dirs[d])  # (B, 1)
+            h_prev = h_scr[d]
+            c_prev = c_scr[d]
+            gates = pre[d]
+            ia = jax.nn.sigmoid(gates[:, :H])
+            fa = jax.nn.sigmoid(gates[:, H:2 * H])
+            ga = jnp.tanh(gates[:, 2 * H:3 * H])
+            oa = jax.nn.sigmoid(gates[:, 3 * H:])
+            c_new = fa * c_prev + ia * ga
+            h_new = oa * jnp.tanh(c_new)
 
-        h_scr[d] = m * h_new + (1.0 - m) * h_prev
-        c_scr[d] = m * c_new + (1.0 - m) * c_prev
-        ys_ref[0, d] = (m * h_new).astype(ys_ref.dtype)
-        cs_ref[0, d] = c_scr[d].astype(cs_ref.dtype)
-        gates_ref[0, d] = jnp.concatenate([ia, fa, ga, oa], axis=1
-                                          ).astype(gates_ref.dtype)
+            h_scr[d] = m * h_new + (1.0 - m) * h_prev
+            c_scr[d] = m * c_new + (1.0 - m) * c_prev
+            ys_ref[kk, d] = (m * h_new).astype(ys_ref.dtype)
+            cs_ref[kk, d] = c_scr[d].astype(cs_ref.dtype)
+            gates_ref[kk, d] = jnp.concatenate([ia, fa, ga, oa], axis=1
+                                               ).astype(gates_ref.dtype)
 
-    @pl.when(t == T - 1)
+    @pl.when(b == Tb - 1)
     def _():
         hlast_ref[:] = h_scr[:]
         clast_ref[:] = c_scr[:]
@@ -137,7 +169,8 @@ def lstm_seq_fwd(xw, w_hh, h0, c0, lengths, interpret=None,
         suffix_dirs = (False,) * D
     lengths2 = lengths.reshape(B, 1).astype(jnp.int32)
 
-    grid = (T,)
+    K = _time_block(T)
+    grid = (T // K,)
     out_shapes = (
         jax.ShapeDtypeStruct((T, D, B, H), save_dtype),    # ys
         jax.ShapeDtypeStruct((T, D, B, H), save_dtype),    # cs
@@ -147,20 +180,24 @@ def lstm_seq_fwd(xw, w_hh, h0, c0, lengths, interpret=None,
     )
     step_block = lambda i: (i, 0, 0, 0)
     const3 = lambda i: (0, 0, 0)
+    save_b = jnp.dtype(save_dtype).itemsize
+    limit = _vmem_limit(K * D * B * G * xw.dtype.itemsize,       # xw block
+                        2 * K * D * B * H * save_b,              # ys + cs
+                        K * D * B * G * save_b)                  # gates
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, suffix_dirs=tuple(suffix_dirs)),
+        functools.partial(_fwd_kernel, suffix_dirs=tuple(suffix_dirs), K=K),
         grid=grid,
         in_specs=[
             pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((D, B, H), const3, memory_space=pltpu.VMEM),
             pl.BlockSpec((D, B, H), const3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, B, G), step_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, D, B, G), step_block, memory_space=pltpu.VMEM),
             pl.BlockSpec((D, H, G), const3, memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, D, B, H), step_block, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, B, H), step_block, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, B, G), step_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, D, B, H), step_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, D, B, H), step_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, D, B, G), step_block, memory_space=pltpu.VMEM),
             pl.BlockSpec((D, B, H), const3, memory_space=pltpu.VMEM),
             pl.BlockSpec((D, B, H), const3, memory_space=pltpu.VMEM),
         ),
@@ -169,43 +206,47 @@ def lstm_seq_fwd(xw, w_hh, h0, c0, lengths, interpret=None,
             pltpu.VMEM((D, B, H), jnp.float32),
             pltpu.VMEM((D, B, H), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=limit),
         interpret=interpret,
     )(lengths2, h0, c0, xw, w_hh)
 
 
 def _fwd_infer_kernel(lengths_ref, h0_ref, c0_ref, xw_ref, w_ref,
                       ys_ref, hlast_ref, clast_ref, h_scr, c_scr,
-                      *, suffix_dirs):
+                      *, suffix_dirs, K):
     """Forward without saved activations — the serving path (writes only
     the hidden outputs; ~2.5x less HBM write traffic than the training
     forward)."""
-    T = pl.num_programs(0)
-    t = pl.program_id(0)
+    Tb = pl.num_programs(0)
+    b = pl.program_id(0)
+    T = Tb * K
     D, B, H = h_scr.shape
 
-    @pl.when(t == 0)
+    @pl.when(b == 0)
     def _():
         h_scr[:] = h0_ref[:]
         c_scr[:] = c0_ref[:]
 
-    for d in range(D):
-        m = _dir_mask(lengths_ref, t, T, suffix_dirs[d])
-        h_prev = h_scr[d]
-        c_prev = c_scr[d]
-        gates = xw_ref[0, d].astype(jnp.float32) + jnp.dot(
-            h_prev.astype(w_ref.dtype), w_ref[d],
-            preferred_element_type=jnp.float32)
-        ia = jax.nn.sigmoid(gates[:, :H])
-        fa = jax.nn.sigmoid(gates[:, H:2 * H])
-        ga = jnp.tanh(gates[:, 2 * H:3 * H])
-        oa = jax.nn.sigmoid(gates[:, 3 * H:])
-        c_new = fa * c_prev + ia * ga
-        h_new = oa * jnp.tanh(c_new)
-        h_scr[d] = m * h_new + (1.0 - m) * h_prev
-        c_scr[d] = m * c_new + (1.0 - m) * c_prev
-        ys_ref[0, d] = m * h_new
+    for kk in range(K):
+        t = b * K + kk
+        for d in range(D):
+            m = _dir_mask(lengths_ref, t, T, suffix_dirs[d])
+            h_prev = h_scr[d]
+            c_prev = c_scr[d]
+            gates = xw_ref[kk, d].astype(jnp.float32) + jnp.dot(
+                h_prev.astype(w_ref.dtype), w_ref[d],
+                preferred_element_type=jnp.float32)
+            ia = jax.nn.sigmoid(gates[:, :H])
+            fa = jax.nn.sigmoid(gates[:, H:2 * H])
+            ga = jnp.tanh(gates[:, 2 * H:3 * H])
+            oa = jax.nn.sigmoid(gates[:, 3 * H:])
+            c_new = fa * c_prev + ia * ga
+            h_new = oa * jnp.tanh(c_new)
+            h_scr[d] = m * h_new + (1.0 - m) * h_prev
+            c_scr[d] = m * c_new + (1.0 - m) * c_prev
+            ys_ref[kk, d] = m * h_new
 
-    @pl.when(t == T - 1)
+    @pl.when(b == Tb - 1)
     def _():
         hlast_ref[:] = h_scr[:]
         clast_ref[:] = c_scr[:]
@@ -221,20 +262,24 @@ def lstm_seq_infer(xw, w_hh, h0, c0, lengths, interpret=None,
     if suffix_dirs is None:
         suffix_dirs = (False,) * D
     lengths2 = lengths.reshape(B, 1).astype(jnp.int32)
+    K = _time_block(T)
     step_block = lambda i: (i, 0, 0, 0)
     const3 = lambda i: (0, 0, 0)
+    limit = _vmem_limit(K * D * B * G * xw.dtype.itemsize,
+                        K * D * B * H * 4)
     return pl.pallas_call(
-        functools.partial(_fwd_infer_kernel, suffix_dirs=tuple(suffix_dirs)),
-        grid=(T,),
+        functools.partial(_fwd_infer_kernel, suffix_dirs=tuple(suffix_dirs),
+                          K=K),
+        grid=(T // K,),
         in_specs=[
             pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((D, B, H), const3, memory_space=pltpu.VMEM),
             pl.BlockSpec((D, B, H), const3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, B, G), step_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, D, B, G), step_block, memory_space=pltpu.VMEM),
             pl.BlockSpec((D, H, G), const3, memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, D, B, H), step_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, D, B, H), step_block, memory_space=pltpu.VMEM),
             pl.BlockSpec((D, B, H), const3, memory_space=pltpu.VMEM),
             pl.BlockSpec((D, B, H), const3, memory_space=pltpu.VMEM),
         ),
@@ -247,6 +292,7 @@ def lstm_seq_infer(xw, w_hh, h0, c0, lengths, interpret=None,
             pltpu.VMEM((D, B, H), jnp.float32),
             pltpu.VMEM((D, B, H), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=limit),
         interpret=interpret,
     )(lengths2, h0, c0, xw, w_hh)
 
@@ -258,54 +304,61 @@ def lstm_seq_infer(xw, w_hh, h0, c0, lengths, interpret=None,
 def _bwd_kernel(lengths_ref, c0_ref, dhlast_ref, dclast_ref,
                 dys_ref, gates_ref, cs_ref, cs_prev_ref, wT_ref,
                 dxw_ref, dh0_ref, dc0_ref,
-                dh_scr, dc_scr, *, suffix_dirs):
-    T = pl.num_programs(0)
-    k = pl.program_id(0)
-    t = T - 1 - k
+                dh_scr, dc_scr, *, suffix_dirs, K):
+    Tb = pl.num_programs(0)
+    kb = pl.program_id(0)
+    b = Tb - 1 - kb        # block index in original time order
+    T = Tb * K
     D, B, H = dh_scr.shape
 
-    @pl.when(k == 0)
+    @pl.when(kb == 0)
     def _():
         dh_scr[:] = dhlast_ref[:]
         dc_scr[:] = dclast_ref[:]
 
-    first_step = t == 0
+    for kk in range(K - 1, -1, -1):  # reverse time within the block
+        t = b * K + kk
+        for d in range(D):
+            m = _dir_mask(lengths_ref, t, T, suffix_dirs[d])  # (B, 1)
+            dh = dh_scr[d]
+            dc = dc_scr[d]
+            g = gates_ref[kk, d].astype(jnp.float32)
+            ia, fa, ga, oa = (g[:, :H], g[:, H:2 * H], g[:, 2 * H:3 * H],
+                              g[:, 3 * H:])
+            c_t = cs_ref[kk, d].astype(jnp.float32)
+            # c_{t-1}: within the block it is the previous saved state; at
+            # the block boundary it comes from the previous block (or c0 at
+            # the very first step)
+            if kk > 0:
+                c_prev = cs_ref[kk - 1, d].astype(jnp.float32)
+            else:
+                c_prev = jnp.where(b == 0, c0_ref[d],
+                                   cs_prev_ref[K - 1, d].astype(jnp.float32))
 
-    for d in range(D):
-        m = _dir_mask(lengths_ref, t, T, suffix_dirs[d])  # (B, 1)
-        dh = dh_scr[d]
-        dc = dc_scr[d]
-        g = gates_ref[0, d].astype(jnp.float32)
-        ia, fa, ga, oa = (g[:, :H], g[:, H:2 * H], g[:, 2 * H:3 * H], g[:, 3 * H:])
-        c_t = cs_ref[0, d].astype(jnp.float32)
-        # c_{t-1}: previous saved state, or c0 at the first step
-        c_prev = jnp.where(first_step, c0_ref[d],
-                           cs_prev_ref[0, d].astype(jnp.float32))
+            # forward: y_t = m*h_new; h_t = m*h_new + (1-m)*h_{t-1}
+            dh_new = m * (dh + dys_ref[kk, d])
+            tanh_c = jnp.tanh(c_t)  # == tanh(c_new) wherever m == 1
+            dc_new = m * dc + dh_new * oa * (1.0 - tanh_c * tanh_c)
 
-        # forward: y_t = m*h_new; h_t = m*h_new + (1-m)*h_{t-1}
-        dh_new = m * (dh + dys_ref[0, d])
-        tanh_c = jnp.tanh(c_t)  # == tanh(c_new) wherever m == 1
-        dc_new = m * dc + dh_new * oa * (1.0 - tanh_c * tanh_c)
+            di = dc_new * ga
+            df = dc_new * c_prev
+            dg = dc_new * ia
+            do = dh_new * tanh_c
+            # pre-activation gradients
+            dgates = jnp.concatenate([
+                di * ia * (1.0 - ia),
+                df * fa * (1.0 - fa),
+                dg * (1.0 - ga * ga),
+                do * oa * (1.0 - oa),
+            ], axis=1)  # (B, 4H) — zero at masked steps (dh_new/dc_new are)
 
-        di = dc_new * ga
-        df = dc_new * c_prev
-        dg = dc_new * ia
-        do = dh_new * tanh_c
-        # pre-activation gradients
-        dgates = jnp.concatenate([
-            di * ia * (1.0 - ia),
-            df * fa * (1.0 - fa),
-            dg * (1.0 - ga * ga),
-            do * oa * (1.0 - oa),
-        ], axis=1)  # (B, 4H) — zero at masked steps since dh_new/dc_new are
+            dxw_ref[kk, d] = dgates.astype(dxw_ref.dtype)
+            dh_scr[d] = (1.0 - m) * dh + jnp.dot(
+                dgates.astype(wT_ref.dtype), wT_ref[d],
+                preferred_element_type=jnp.float32)
+            dc_scr[d] = (1.0 - m) * dc + dc_new * fa
 
-        dxw_ref[0, d] = dgates.astype(dxw_ref.dtype)
-        dh_scr[d] = (1.0 - m) * dh + jnp.dot(
-            dgates.astype(wT_ref.dtype), wT_ref[d],
-            preferred_element_type=jnp.float32)
-        dc_scr[d] = (1.0 - m) * dc + dc_new * fa
-
-    @pl.when(k == T - 1)
+    @pl.when(kb == Tb - 1)
     def _():
         dh0_ref[:] = dh_scr[:]
         dc0_ref[:] = dc_scr[:]
@@ -324,27 +377,35 @@ def lstm_seq_bwd(w_hh, c0, lengths, cs, gates, dys, dh_last, dc_last,
     lengths2 = lengths.reshape(B, 1).astype(jnp.int32)
     wT = jnp.swapaxes(w_hh, 1, 2)  # (D, 4H, H)
 
-    rev = lambda k: (T - 1 - k, 0, 0, 0)
-    # c_{t-1} block: clamp at 0; the kernel switches to c0 when t == 0
-    rev_prev = lambda k: (jnp.maximum(T - 2 - k, 0), 0, 0, 0)
+    K = _time_block(T)
+    Tb = T // K
+    rev = lambda k: (Tb - 1 - k, 0, 0, 0)
+    # c_{t-1} boundary block: the previous time block, clamped at 0; the
+    # kernel switches to c0 at the very first step
+    rev_prev = lambda k: (jnp.maximum(Tb - 2 - k, 0), 0, 0, 0)
     const3 = lambda k: (0, 0, 0)
 
+    save_b = jnp.dtype(save_dtype).itemsize
+    limit = _vmem_limit(K * D * B * H * dys.dtype.itemsize,      # dys
+                        K * D * B * G * gates.dtype.itemsize,    # gates
+                        2 * K * D * B * H * cs.dtype.itemsize,   # cs + prev
+                        K * D * B * G * save_b)                  # dxw
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, suffix_dirs=tuple(suffix_dirs)),
-        grid=(T,),
+        functools.partial(_bwd_kernel, suffix_dirs=tuple(suffix_dirs), K=K),
+        grid=(Tb,),
         in_specs=[
             pl.BlockSpec((B, 1), lambda k: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((D, B, H), const3, memory_space=pltpu.VMEM),
             pl.BlockSpec((D, B, H), const3, memory_space=pltpu.VMEM),
             pl.BlockSpec((D, B, H), const3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, B, G), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, B, H), rev_prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, D, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, D, B, G), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, D, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, D, B, H), rev_prev, memory_space=pltpu.VMEM),
             pl.BlockSpec((D, G, H), const3, memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, D, B, G), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, D, B, G), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((D, B, H), const3, memory_space=pltpu.VMEM),
             pl.BlockSpec((D, B, H), const3, memory_space=pltpu.VMEM),
         ),
@@ -357,6 +418,7 @@ def lstm_seq_bwd(w_hh, c0, lengths, cs, gates, dys, dh_last, dc_last,
             pltpu.VMEM((D, B, H), jnp.float32),
             pltpu.VMEM((D, B, H), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=limit),
         interpret=interpret,
     )(lengths2, c0, dh_last, dc_last, dys, gates, cs, cs, wT)
 
