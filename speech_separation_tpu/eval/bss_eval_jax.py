@@ -34,8 +34,11 @@ SDR/SIR/SAR — round 1's f32 version was off by up to ~2 dB in SAR.
 Utterances whose Gram f32 cannot resolve at all are NaN-poisoned via the
 refinement-residual trust gate; eval/score.py rescores them on the host in
 f64 automatically. This is the documented fast path for large scoring
-sweeps (~200 ms per 4 s utterance on a v5e chip; ~10 min per 3k-utterance
-test set); bss_eval.py remains the bit-authoritative reference.
+sweeps — a measured 3000-utterance sweep (4 s utterances,
+tools/bench_device_scoring.py) runs at 18 utts/s end-to-end on the
+tunnel-attached dev host (3.9x the host f64 scorer; max deviation
+4e-4 dB) and ~40 utts/s device-side at batch 16-24; bss_eval.py remains
+the bit-authoritative reference.
 
 Replaces the reference's per-utterance host scoring loop
 (steps/evaluate_sources.py:57, mir_eval.separation.bss_eval_sources).
@@ -66,8 +69,17 @@ def _matmul_2f(A, B, chunk: int = 256):
 
     The K contraction runs in `chunk`-sized pieces; each piece is an exact-
     product HIGHEST matmul whose accumulation error is O(sqrt(chunk)*eps)
-    of the piece, and the pieces combine with TwoSum so almost nothing is
-    lost across them. Relative entry error ~ eps * sqrt(chunk / K)."""
+    of the piece, and the pieces combine pairwise with TwoSum so almost
+    nothing is lost across them. Relative entry error ~
+    eps * sqrt(chunk / K).
+
+    All C chunk products are computed in ONE batched matmul (a new leading
+    batch axis) and combined by a parallel two-float reduction tree —
+    log2(C) vectorized levels. A sequential per-chunk scan was measured
+    ~0.4 ms/step of pure dispatch latency on the device (61 ms of a 90 ms
+    scoring pipeline); the tree form is a handful of ops regardless of K,
+    at the cost of the (…, C, M, N) chunk-product temporary (callers keep
+    M or N thin, so it is small)."""
     K = A.shape[-1]
     pad = (-K) % chunk
     if pad:
@@ -77,33 +89,55 @@ def _matmul_2f(A, B, chunk: int = 256):
             [B, jnp.zeros(B.shape[:-2] + (pad, B.shape[-1]), B.dtype)],
             axis=-2)
     C = (K + pad) // chunk
+    M, N = A.shape[-2], B.shape[-1]
+    bshape = jnp.broadcast_shapes(A.shape[:-2], B.shape[:-2])
 
-    # slice inside the scan body (no stacked copies of the big operands)
-    def body(carry, i):
-        hi, lo = carry
-        a = jax.lax.dynamic_slice_in_dim(A, i * chunk, chunk, axis=A.ndim - 1)
-        b = jax.lax.dynamic_slice_in_dim(B, i * chunk, chunk, axis=B.ndim - 2)
-        p = jnp.matmul(a, b, precision=_HI)
-        hi, e = _two_sum(hi, p)
-        return (hi, lo + e), None
+    # (…, M, C, chunk) -> (…, C, M, chunk); (…, C, chunk, N)
+    Ac = jnp.moveaxis(A.reshape(A.shape[:-1] + (C, chunk)), -2, -3)
+    Bc = B.reshape(B.shape[:-2] + (C, chunk, N))
+    p = jnp.matmul(jnp.broadcast_to(Ac, bshape + (C, M, chunk)),
+                   jnp.broadcast_to(Bc, bshape + (C, chunk, N)),
+                   precision=_HI)                     # (…, C, M, N) exact-ish
 
-    out_shape = jnp.broadcast_shapes(A.shape[:-2], B.shape[:-2]) + (
-        A.shape[-2], B.shape[-1])
-    init = (jnp.zeros(out_shape, jnp.float32),
-            jnp.zeros(out_shape, jnp.float32))
-    (hi, lo), _ = jax.lax.scan(body, init, jnp.arange(C))
-    return hi, lo
+    # pairwise two-float reduction over the chunk axis
+    hi = p
+    lo = jnp.zeros_like(p)
+    c = C
+    ax = len(bshape)
+    while c > 1:
+        if c % 2:
+            hi = jnp.concatenate(
+                [hi, jnp.zeros(bshape + (1, M, N), hi.dtype)], axis=ax)
+            lo = jnp.concatenate(
+                [lo, jnp.zeros(bshape + (1, M, N), lo.dtype)], axis=ax)
+            c += 1
+        h0, h1 = hi[..., 0::2, :, :], hi[..., 1::2, :, :]
+        l0, l1 = lo[..., 0::2, :, :], lo[..., 1::2, :, :]
+        s, e = _two_sum(h0, h1)
+        hi, lo = s, l0 + l1 + e
+        c //= 2
+    return hi[..., 0, :, :], lo[..., 0, :, :]
 
 
 def _shifted_matrix(x: jnp.ndarray, flen: int, out_len: int) -> jnp.ndarray:
-    """(..., L) -> (..., flen, out_len): row a = x delayed by a samples."""
+    """(..., L) -> (..., flen, out_len): row a = x delayed by a samples.
+
+    Gather-free construction: tile z = [x, 0_flen] (length Q) flen times
+    and re-slice — w[k*(Q-1) + j] = z[(j - k) mod Q], and the flen-zero
+    guard makes every wrapped element zero, so row k is exactly x delayed
+    by k. A jnp.take with a (flen, out_len) index matrix lowers to a TPU
+    gather whose temp puts the small batch dims trailing under a (2, 128)
+    tile: a measured 32x padding expansion (15.9 GB for a 0.5 GB gather)
+    that capped the scoring batch at 1. Reshape/slice ops keep the big
+    dims trailing and the layout dense."""
     L = x.shape[-1]
-    pad = jnp.zeros(x.shape[:-1] + (flen - 1,), x.dtype)
-    xp = jnp.concatenate([pad, x, jnp.zeros(x.shape[:-1] + (out_len - L,), x.dtype)],
-                         axis=-1)
-    # row a reads xp starting at flen-1-a
-    idx = (flen - 1 - np.arange(flen))[:, None] + np.arange(out_len)[None, :]
-    return jnp.take(xp, jnp.asarray(idx), axis=-1)
+    assert out_len == L + flen - 1, (out_len, L, flen)
+    Q = L + flen
+    z = jnp.concatenate([x, jnp.zeros(x.shape[:-1] + (flen,), x.dtype)],
+                        axis=-1)
+    w = jnp.broadcast_to(z[..., None, :], z.shape[:-1] + (flen, Q))
+    w = w.reshape(z.shape[:-1] + (flen * Q,))
+    return w[..., : flen * (Q - 1)].reshape(x.shape[:-1] + (flen, Q - 1))
 
 
 def _refined_solve_2f(G_hi, G_lo, D_hi, D_lo, iters: int = 3):
@@ -147,6 +181,38 @@ def _refined_solve_2f(G_hi, G_lo, D_hi, D_lo, iters: int = 3):
     return x_hi, x_lo, rel_res
 
 
+def _toeplitz_gram_2f(S: jnp.ndarray, n: int, flen: int):
+    """Two-float Gram of the delayed-sources matrix, exploiting its
+    block-Toeplitz structure: G[(i,a),(j,b)] = sum_t s_i[t-a] s_j[t-b]
+    depends only on (i, j, a-b) (the padded window covers both shifted
+    supports entirely, so there are no edge corrections). Computing the
+    n^2 * flen distinct cross-correlations as ONE thin matmul and
+    assembling G by gather is O(n * nf * out_len) FLOPs instead of the
+    dense O(nf^2 * out_len) — ~flen/n x less work, the difference between
+    the device scorer beating the host and losing to it (mir_eval gets
+    the same effect via FFT-based correlations)."""
+    B = S.shape[0]
+    SfT = jnp.swapaxes(S.reshape(B, n * flen, -1), 1, 2)   # (B, out, nf)
+    s0 = S[:, :, 0, :]                                     # undelayed rows
+    # M[i, j, a] = sum_t s_i[t] s_j[t-a]
+    M_hi, M_lo = _matmul_2f(s0, SfT)                       # (B, n, n*flen)
+    M_hi = M_hi.reshape(B, n * n * flen)
+    M_lo = M_lo.reshape(B, n * n * flen)
+
+    # gather indices (host-built, static): G[(i,a),(j,b)] =
+    #   M[i, j, b-a] when b >= a else M[j, i, a-b]
+    i, a, j, b = np.meshgrid(np.arange(n), np.arange(flen),
+                             np.arange(n), np.arange(flen), indexing="ij")
+    d = b - a
+    fwd = (i * n + j) * flen + np.clip(d, 0, flen - 1)
+    rev = (j * n + i) * flen + np.clip(-d, 0, flen - 1)
+    idx = jnp.asarray(np.where(d >= 0, fwd, rev).reshape(-1))
+    nf = n * flen
+    G_hi = jnp.take(M_hi, idx, axis=1).reshape(B, nf, nf)
+    G_lo = jnp.take(M_lo, idx, axis=1).reshape(B, nf, nf)
+    return G_hi, G_lo
+
+
 @partial(jax.jit, static_argnames=("flen", "compute_permutation"))
 def _bss_eval_batch(refs: jnp.ndarray, ests: jnp.ndarray, flen: int,
                     compute_permutation: bool):
@@ -155,13 +221,19 @@ def _bss_eval_batch(refs: jnp.ndarray, ests: jnp.ndarray, flen: int,
     B, n, L = refs.shape
     out_len = L + flen - 1
 
-    # shifted source copies: (B, n, flen, out_len)
-    S = jax.vmap(lambda r: _shifted_matrix(r, flen, out_len))(refs)
+    # shifted source copies: (B, n, flen, out_len). NOTE: _shifted_matrix
+    # batches natively — wrapping it in vmap instead moves the batch dims
+    # to the tail of the gather's output layout, which the TPU tiles as
+    # (2, 128) over the tiny (B, n) trailing dims: a measured 32x padding
+    # expansion (15.9 GB for a 0.5 GB gather) that capped the scoring
+    # batch at 1
+    S = _shifted_matrix(refs, flen, out_len)
     Sf = S.reshape(B, n * flen, out_len)
     SfT = jnp.swapaxes(Sf, 1, 2)
 
-    # two-float Gram of delayed sources and est/source correlations
-    G_hi, G_lo = _matmul_2f(Sf, SfT)                       # (B, nf, nf)
+    # two-float Gram of delayed sources (via its Toeplitz blocks) and
+    # est/source correlations
+    G_hi, G_lo = _toeplitz_gram_2f(S, n, flen)             # (B, nf, nf)
     ests_pad = jnp.concatenate(
         [ests, jnp.zeros((B, n, out_len - L), ests.dtype)], axis=-1)
     D_hi, D_lo = _matmul_2f(ests_pad, SfT)                 # (B, n_est, nf)
@@ -256,12 +328,12 @@ def bss_eval_sources_batch(reference_sources, estimated_sources,
     ests = np.asarray(estimated_sources, np.float32)
     B = refs.shape[0]
     if max_batch is None:
-        # measured HBM high-water: ~60x the shifted-copies matrix
-        # (n*flen, out_len) f32 — XLA temps during the chunked two-float
-        # contractions. Budget ~12 GB of the 16 GB HBM.
+        # measured HBM high-water: ~6x the shifted-copies matrix
+        # (n*flen, out_len) f32 (B=24 fits / B=32 OOMs at n=2, L=32k on a
+        # 16 GB chip). Budget ~12 GB.
         n, L = refs.shape[1], refs.shape[2]
-        per_utt = n * flen * (L + flen - 1) * 4 * 60
-        max_batch = max(1, min(8, int(1.2e10 // max(per_utt, 1))))
+        per_utt = n * flen * (L + flen - 1) * 4 * 6
+        max_batch = max(1, min(64, int(1.2e10 // max(per_utt, 1))))
     outs = []
     for s in range(0, B, max_batch):
         chunk = slice(s, min(s + max_batch, B))
