@@ -220,6 +220,11 @@ def _bss_eval_batch(refs: jnp.ndarray, ests: jnp.ndarray, flen: int,
     selected (sdr, sir, sar, perm) each (B, n)."""
     B, n, L = refs.shape
     out_len = L + flen - 1
+    # int16 inputs (PCM16 shipped raw — half the host->device bytes; every
+    # BSS-eval quantity is invariant to the common 1/32768 scale, so a
+    # plain cast is exact)
+    refs = refs.astype(jnp.float32)
+    ests = ests.astype(jnp.float32)
 
     # shifted source copies: (B, n, flen, out_len). NOTE: _shifted_matrix
     # batches natively — wrapping it in vmap instead moves the batch dims
@@ -323,9 +328,17 @@ def bss_eval_sources_batch(reference_sources, estimated_sources,
         ~n*flen*L*4 bytes per utterance).
 
     Returns (sdr, sir, sar, perm) numpy arrays, each (B, n).
+
+    int16 inputs are shipped to the device as int16 (half the transfer
+    bytes — the metrics are invariant to the common PCM16 scale and the
+    cast to f32 on device is exact); everything else is sent float32.
     """
-    refs = np.asarray(reference_sources, np.float32)
-    ests = np.asarray(estimated_sources, np.float32)
+    def _as_input(x):
+        x = np.asarray(x)
+        return x if x.dtype == np.int16 else x.astype(np.float32, copy=False)
+
+    refs = _as_input(reference_sources)
+    ests = _as_input(estimated_sources)
     B = refs.shape[0]
     if max_batch is None:
         # measured HBM high-water: ~6x the shifted-copies matrix

@@ -60,6 +60,16 @@ def _score_one(args):
     return utt, sdr, sir, sar, sisdr, sisdri
 
 
+def _maybe_int16(x: np.ndarray) -> np.ndarray:
+    """Exact int16 repacking of float audio in [-1, 1) when every sample
+    is k/32768 (true for un-resampled PCM16 wavs, which is what the
+    pipeline writes); otherwise returns x unchanged."""
+    y = np.rint(x * 32768.0)
+    if np.all(np.abs(y) < 32768.0) and np.array_equal(y / 32768.0, x):
+        return y.astype(np.int16)
+    return x
+
+
 def _score_device(jobs, log, slab: int = 64, pad_quantum: int = 8000):
     """Batched TPU scoring (eval/bss_eval_jax.py, two-float arithmetic —
     within 0.1 dB of the host f64 scorer; tests/test_bss_eval_jax.py).
@@ -91,6 +101,10 @@ def _score_device(jobs, log, slab: int = 64, pad_quantum: int = 8000):
             for i, (oracle, est, _mix) in enumerate(cases):
                 refs[i, :, : oracle.shape[1]] = oracle
                 ests[i, :, : est.shape[1]] = est
+            # PCM16 material round-trips exactly through int16 — ship half
+            # the bytes (the metrics are scale-invariant, bss_eval_jax)
+            refs = _maybe_int16(refs)
+            ests = _maybe_int16(ests)
             sdr, sir, sar, perm = bss_eval_sources_batch(refs, ests)
             n_host = 0
             for i, ((utt, *_r), (oracle, est, mix)) in enumerate(

@@ -96,3 +96,32 @@ def test_ar_material_within_0p1_db_of_host_f64():
         np.testing.assert_allclose(sdr[b], sdr_np, atol=0.1, err_msg="SDR")
         np.testing.assert_allclose(sir[b], sir_np, atol=0.1, err_msg="SIR")
         np.testing.assert_allclose(sar[b], sar_np, atol=0.1, err_msg="SAR")
+
+
+def test_int16_inputs_match_float_scoring():
+    """PCM16 shipping path: int16 refs/ests (raw samples) must score
+    identically to the float32 k/32768 representation — every BSS-eval
+    quantity is invariant to the common scale (eval/bss_eval_jax.py), and
+    eval/score.py's _maybe_int16 repacking must be exact + reversible."""
+    from speech_separation_tpu.eval.score import _maybe_int16
+
+    rng = np.random.default_rng(7)
+    L = 4000
+    k = rng.integers(-32768, 32768, size=(2, 2, L)).astype(np.int16)
+    as_float = (k.astype(np.float32) / 32768.0)
+    # estimates: a mixed version, also quantized to PCM16
+    ke = np.clip(np.rint(0.8 * k + 0.2 * k[:, ::-1]), -32768, 32767
+                 ).astype(np.int16)
+    ests_float = ke.astype(np.float32) / 32768.0
+
+    f_out = bss_eval_sources_batch(as_float, ests_float, flen=64)
+    i_out = bss_eval_sources_batch(k, ke, flen=64)
+    for f, i in zip(f_out, i_out):
+        np.testing.assert_array_equal(np.asarray(f), np.asarray(i))
+
+    packed = _maybe_int16(as_float)
+    assert packed.dtype == np.int16
+    np.testing.assert_array_equal(packed, k)
+    # inexact floats must pass through unchanged
+    x = rng.standard_normal((2, 8)).astype(np.float32)
+    assert _maybe_int16(x) is x
