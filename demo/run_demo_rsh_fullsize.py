@@ -14,7 +14,9 @@ import time
 os.chdir(os.path.dirname(os.path.abspath(__file__)))
 
 from speech_separation_tpu.dsp import STFTConfig
-from speech_separation_tpu.train.loop import TrainLoopConfig, train_with_restarts
+from speech_separation_tpu.train.loop import (TrainLoopConfig,
+                                              latest_intermediate_epoch,
+                                              train_with_restarts)
 from speech_separation_tpu.eval import (generate_masks, reconstruct_sources,
                                         evaluate_sources)
 from speech_separation_tpu.utils.compile_cache import enable_compilation_cache
@@ -26,13 +28,9 @@ assert os.path.isfile("data/fs_tt/feats_test.scp"), \
 
 print("== train RSH (2x600, waveform-direct, bf16+Pallas) ==", flush=True)
 mk = {"hidden": "600", "num_layers": "2", "compute_dtype": "bfloat16"}
-start_epoch = 0
-int_dir = "exp/RSH_fs_tr/intermediate_models"
-if os.path.isdir(int_dir):
-    done = [int(f[:3]) for f in os.listdir(int_dir) if f[:3].isdigit()]
-    if done:
-        start_epoch = max(done)
-        print(f"== resuming from epoch {start_epoch} ==", flush=True)
+start_epoch = latest_intermediate_epoch("exp/RSH_fs_tr")
+if start_epoch:
+    print(f"== resuming from epoch {start_epoch} ==", flush=True)
 t0 = time.time()
 out = train_with_restarts(
     "data/fs_tr", "exp/RSH_fs_tr",

@@ -315,6 +315,14 @@ def _bss_eval_batch(refs: jnp.ndarray, ests: jnp.ndarray, flen: int,
     return select(sdr_m), select(sir_m), select(sar_m), chosen
 
 
+def default_max_batch(n: int, L: int, flen: int = 512) -> int:
+    """Device sub-batch size. Measured HBM high-water: ~6x the
+    shifted-copies matrix (n*flen, out_len) f32 (B=24 fits / B=32 OOMs at
+    n=2, L=32k on a 16 GB chip). Budget ~12 GB."""
+    per_utt = n * flen * (L + flen - 1) * 4 * 6
+    return max(1, min(64, int(1.2e10 // max(per_utt, 1))))
+
+
 def bss_eval_sources_batch(reference_sources, estimated_sources,
                            lengths=None, compute_permutation=True,
                            flen: int = 512, max_batch: int | None = None):
@@ -341,12 +349,7 @@ def bss_eval_sources_batch(reference_sources, estimated_sources,
     ests = _as_input(estimated_sources)
     B = refs.shape[0]
     if max_batch is None:
-        # measured HBM high-water: ~6x the shifted-copies matrix
-        # (n*flen, out_len) f32 (B=24 fits / B=32 OOMs at n=2, L=32k on a
-        # 16 GB chip). Budget ~12 GB.
-        n, L = refs.shape[1], refs.shape[2]
-        per_utt = n * flen * (L + flen - 1) * 4 * 6
-        max_batch = max(1, min(64, int(1.2e10 // max(per_utt, 1))))
+        max_batch = default_max_batch(refs.shape[1], refs.shape[2], flen)
     outs = []
     for s in range(0, B, max_batch):
         chunk = slice(s, min(s + max_batch, B))

@@ -65,7 +65,8 @@ def _maybe_int16(x: np.ndarray) -> np.ndarray:
     is k/32768 (true for un-resampled PCM16 wavs, which is what the
     pipeline writes); otherwise returns x unchanged."""
     y = np.rint(x * 32768.0)
-    if np.all(np.abs(y) < 32768.0) and np.array_equal(y / 32768.0, x):
+    if (np.all(y >= -32768.0) and np.all(y < 32768.0)
+            and np.array_equal(y / 32768.0, x)):
         return y.astype(np.int16)
     return x
 

@@ -56,17 +56,25 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _time_block(T: int) -> int:
+_VMEM_MARGIN = 24 * 1024 * 1024   # resident weights/state/scratch allowance
+_VMEM_CEILING = 100 * 1024 * 1024  # under the ~112 MB the hw accepts (probed)
+
+
+def _time_block(T: int, step_bytes: int) -> int:
     """Timesteps per grid step. Larger blocks amortize the per-grid-step
     overhead (DMA issue + grid bookkeeping were measured at ~3-5 us of the
     ~15 us step, docs/performance.md); the VMEM cost is K x the per-step
-    blocks, well within the chip's measured ~112 MB usable VMEM (the 16 MB
-    figure is only the default scoped limit). SEPSEP_LSTM_BLOCK caps the
-    preferred block size (tuning knob; 1 recovers the unblocked kernel)."""
+    blocks, within the chip's measured ~112 MB usable VMEM (the 16 MB
+    figure is only the default scoped limit). ``step_bytes`` is the sum of
+    the per-timestep grid-block bytes: K is reduced until the
+    double-buffered blocks fit the ceiling, so an oversized
+    SEPSEP_LSTM_BLOCK (the tuning knob; 1 recovers the unblocked kernel)
+    degrades instead of failing compilation."""
     import os
     pref = int(os.environ.get("SEPSEP_LSTM_BLOCK", "8"))
     for k in (16, 8, 4, 2):
-        if k <= pref and T % k == 0:
+        if (k <= pref and T % k == 0
+                and 2 * k * step_bytes + _VMEM_MARGIN <= _VMEM_CEILING):
             return k
     return 1
 
@@ -74,9 +82,10 @@ def _time_block(T: int) -> int:
 def _vmem_limit(*block_bytes: int) -> int:
     """Kernel VMEM budget: double-buffered grid blocks + a fixed margin for
     the resident weights/state/scratch. Clamped under the ~112 MB that the
-    hardware actually accepts (probed on v5 lite)."""
-    total = 2 * sum(block_bytes) + 24 * 1024 * 1024
-    return min(max(total, 32 * 1024 * 1024), 100 * 1024 * 1024)
+    hardware actually accepts (probed on v5 lite); _time_block guarantees
+    the blocks fit under this."""
+    total = 2 * sum(block_bytes) + _VMEM_MARGIN
+    return min(max(total, 32 * 1024 * 1024), _VMEM_CEILING)
 
 
 # ---------------------------------------------------------------------------
@@ -169,7 +178,11 @@ def lstm_seq_fwd(xw, w_hh, h0, c0, lengths, interpret=None,
         suffix_dirs = (False,) * D
     lengths2 = lengths.reshape(B, 1).astype(jnp.int32)
 
-    K = _time_block(T)
+    save_b = jnp.dtype(save_dtype).itemsize
+    step_bytes = (D * B * G * xw.dtype.itemsize          # xw
+                  + 2 * D * B * H * save_b               # ys + cs
+                  + D * B * G * save_b)                  # gates
+    K = _time_block(T, step_bytes)
     grid = (T // K,)
     out_shapes = (
         jax.ShapeDtypeStruct((T, D, B, H), save_dtype),    # ys
@@ -180,10 +193,7 @@ def lstm_seq_fwd(xw, w_hh, h0, c0, lengths, interpret=None,
     )
     step_block = lambda i: (i, 0, 0, 0)
     const3 = lambda i: (0, 0, 0)
-    save_b = jnp.dtype(save_dtype).itemsize
-    limit = _vmem_limit(K * D * B * G * xw.dtype.itemsize,       # xw block
-                        2 * K * D * B * H * save_b,              # ys + cs
-                        K * D * B * G * save_b)                  # gates
+    limit = _vmem_limit(K * step_bytes)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, suffix_dirs=tuple(suffix_dirs), K=K),
         grid=grid,
@@ -262,11 +272,11 @@ def lstm_seq_infer(xw, w_hh, h0, c0, lengths, interpret=None,
     if suffix_dirs is None:
         suffix_dirs = (False,) * D
     lengths2 = lengths.reshape(B, 1).astype(jnp.int32)
-    K = _time_block(T)
+    step_bytes = D * B * G * xw.dtype.itemsize + D * B * H * 4
+    K = _time_block(T, step_bytes)
     step_block = lambda i: (i, 0, 0, 0)
     const3 = lambda i: (0, 0, 0)
-    limit = _vmem_limit(K * D * B * G * xw.dtype.itemsize,
-                        K * D * B * H * 4)
+    limit = _vmem_limit(K * step_bytes)
     return pl.pallas_call(
         functools.partial(_fwd_infer_kernel, suffix_dirs=tuple(suffix_dirs),
                           K=K),
@@ -377,7 +387,12 @@ def lstm_seq_bwd(w_hh, c0, lengths, cs, gates, dys, dh_last, dc_last,
     lengths2 = lengths.reshape(B, 1).astype(jnp.int32)
     wT = jnp.swapaxes(w_hh, 1, 2)  # (D, 4H, H)
 
-    K = _time_block(T)
+    save_b = jnp.dtype(save_dtype).itemsize
+    step_bytes = (D * B * H * dys.dtype.itemsize           # dys
+                  + D * B * G * gates.dtype.itemsize       # gates
+                  + 2 * D * B * H * cs.dtype.itemsize      # cs + prev
+                  + D * B * G * save_b)                    # dxw
+    K = _time_block(T, step_bytes)
     Tb = T // K
     rev = lambda k: (Tb - 1 - k, 0, 0, 0)
     # c_{t-1} boundary block: the previous time block, clamped at 0; the
@@ -385,11 +400,7 @@ def lstm_seq_bwd(w_hh, c0, lengths, cs, gates, dys, dh_last, dc_last,
     rev_prev = lambda k: (jnp.maximum(Tb - 2 - k, 0), 0, 0, 0)
     const3 = lambda k: (0, 0, 0)
 
-    save_b = jnp.dtype(save_dtype).itemsize
-    limit = _vmem_limit(K * D * B * H * dys.dtype.itemsize,      # dys
-                        K * D * B * G * gates.dtype.itemsize,    # gates
-                        2 * K * D * B * H * cs.dtype.itemsize,   # cs + prev
-                        K * D * B * G * save_b)                  # dxw
+    limit = _vmem_limit(K * step_bytes)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, suffix_dirs=tuple(suffix_dirs), K=K),
         grid=(Tb,),

@@ -45,10 +45,12 @@ def synthesize_cache(work, N, dtype, feat_dim=257, min_frames=126,
     offsets = np.zeros(N, np.int64)
     t0 = time.time()
     off = 0
-    # one shared random pool per distinct length bucket of 1k utts: the
-    # bytes must be written (disk honesty) but generating 30-60 GB of
-    # fresh gaussians on one CPU would dominate; reuse within a pool is
-    # invisible to the collation path being measured
+    # ONE shared random pool, per-record scalar-scaled: the bytes must be
+    # written and read (disk honesty) but generating 30-60 GB of fresh
+    # gaussians on one CPU would dominate the run. All records are
+    # scalings of this matrix — fine for the collation-throughput path
+    # being measured; do NOT use this cache for numeric/compression
+    # studies
     pool = np.abs(rng.standard_normal((max_frames, feat_dim))
                   ).astype(np.float32)
     with open(cache_path + ".partial", "wb") as out:
