@@ -165,7 +165,12 @@ def cmd_separate(args):
                               stft_cfg=cfg, batch_size=args.batch_size,
                               num_spk=args.num_spk or None)
     signals = [load_wav(p, sr=cfg.sample_rate)[0] for p in args.wavs]
-    outs = pipe.separate(signals)
+    if args.long_form:
+        outs = [pipe.separate_long(s, window_sec=args.window_sec,
+                                   overlap_sec=args.overlap_sec)
+                for s in signals]
+    else:
+        outs = pipe.separate(signals)
     os.makedirs(args.out_dir, exist_ok=True)
     for path, ests in zip(args.wavs, outs):
         stem = os.path.splitext(os.path.basename(path))[0]
@@ -546,6 +551,11 @@ def build_parser():
     p.add_argument("--fft-dim", type=int, default=512)
     p.add_argument("--step-size", type=int, default=128)
     p.add_argument("--sample-rate", type=int, default=8000)
+    p.add_argument("--long-form", action="store_true",
+                   help="window + permutation-align + crossfade (for "
+                        "minutes-long recordings; one compiled shape)")
+    p.add_argument("--window-sec", type=float, default=8.0)
+    p.add_argument("--overlap-sec", type=float, default=1.0)
     p.set_defaults(fn=cmd_separate)
 
     p = sub.add_parser("score", help="BSS-eval + SI-SDR scoring")

@@ -27,6 +27,23 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _best_source_perm(prev: np.ndarray, cur: np.ndarray) -> np.ndarray:
+    """Permutation of ``cur``'s source rows best matching ``prev`` over a
+    shared overlap region, by summed normalized correlation. (S, ov)
+    arrays; S! is tiny (S <= 3-4 in practice)."""
+    import itertools
+    S = prev.shape[0]
+    na = np.linalg.norm(prev, axis=1) + 1e-12
+    nb = np.linalg.norm(cur, axis=1) + 1e-12
+    corr = (prev @ cur.T) / np.outer(na, nb)          # (S, S)
+    best, best_score = None, -np.inf
+    for p in itertools.permutations(range(S)):
+        score = sum(corr[i, p[i]] for i in range(S))
+        if score > best_score:
+            best, best_score = p, score
+    return np.asarray(best)
+
+
 class SeparationPipeline:
     """Batched waveform-to-waveforms separation with shape bucketing.
 
@@ -112,3 +129,64 @@ class SeparationPipeline:
                 L_out = istft_output_length(int(counts[r]), scfg.hop)
                 out[i] = [y[r, s, half: half + L_out] for s in range(S)]
         return out
+
+    def separate_long(self, signal: np.ndarray, num_spk: int | None = None,
+                      window_sec: float = 8.0, overlap_sec: float = 1.0
+                      ) -> list[np.ndarray]:
+        """Long-form separation: window + batch + align + crossfade.
+
+        A minutes-long recording as one XLA shape would compile a new
+        executable per length, blow past the model's training-length
+        distribution, and waste the batch dimension. Instead the signal is
+        cut into overlapping windows (all the same shape -> ONE compiled
+        executable, full batch utilization), every window is separated in
+        one batched call, and the per-window source tracks are stitched:
+
+        - source ORDER is arbitrary per window (the model has no speaker
+          identity), so each window's tracks are permutation-aligned to
+          the previous window by normalized correlation over the shared
+          overlap region (greedy chain, exact min over S! permutations);
+        - the overlap is linearly crossfaded (weights renormalized by the
+          accumulated window coverage, so edges and a short final window
+          are handled uniformly).
+
+        Returns num_spk tracks covering the whole input (the iSTFT's
+        hop-rounding may leave the final few samples silent).
+        """
+        sr = self.stft_cfg.sample_rate
+        S = num_spk or self.num_spk
+        x = np.asarray(signal, np.float32)
+        W = int(window_sec * sr)
+        V = int(overlap_sec * sr)
+        if not 0 < V < W:
+            raise ValueError(f"need 0 < overlap ({V}) < window ({W})")
+        if len(x) <= W:
+            return self.separate([x], S)[0]
+        hop = W - V
+        starts = list(range(0, max(len(x) - V, 1), hop))
+        outs = self.separate([x[s: s + W] for s in starts], S)
+
+        acc = np.zeros((S, len(x)), np.float64)
+        wacc = np.zeros(len(x), np.float64)
+        prev_tail = None        # previous window's tracks over the overlap
+        last = len(starts) - 1
+        for k, (s0, tracks) in enumerate(zip(starts, outs)):
+            t = np.stack(tracks)                       # (S, Lk), Lk <= W
+            Lk = t.shape[1]
+            if prev_tail is not None:
+                ov = min(prev_tail.shape[1], Lk)
+                if ov > 0:
+                    t = t[_best_source_perm(prev_tail[:, :ov], t[:, :ov])]
+            wgt = np.ones(Lk)
+            if k > 0:
+                r = min(V, Lk)
+                wgt[:r] = np.arange(r) / r             # ramp up
+            if k < last:
+                r = min(V, Lk)
+                wgt[Lk - r:] = np.minimum(wgt[Lk - r:],
+                                          1.0 - np.arange(r) / r)  # ramp down
+            acc[:, s0: s0 + Lk] += t * wgt
+            wacc[s0: s0 + Lk] += wgt
+            prev_tail = t[:, hop:] if Lk > hop else t[:, :0]
+        return [(acc[s] / np.maximum(wacc, 1e-12)).astype(np.float32)
+                for s in range(S)]
