@@ -69,3 +69,32 @@ def test_oracle_with_segments(seg_data):
     # one line per segment, sorted by the merge
     assert len(lines) == 6
     assert all("-seg" in line.split()[0] for line in lines)
+
+
+def test_variable_count_corpus_extraction(tmp_path):
+    """make_synthetic_corpus_var + the extractor's /mix/ -> /*/ count
+    discovery: utterance i has counts[i % 3] sources and utt2num_spk
+    records it (reference extract_feats.py:65-68 rule)."""
+    from speech_separation_tpu.datadir import DatasetRegistry, prepare_data_dir
+    from speech_separation_tpu.datadir.scp import read_utt2num_spk
+    from speech_separation_tpu.dsp import STFTConfig
+    from speech_separation_tpu.dsp.extract import extract_features
+    from speech_separation_tpu.utils.synthetic import (
+        make_synthetic_corpus_var, write_id_list)
+
+    root = str(tmp_path / "corpus")
+    ids = make_synthetic_corpus_var(root, 6, seed=0, prefix="v")
+    write_id_list(str(tmp_path / "id_lists"), "var", ids)
+    d = prepare_data_dir("var", DatasetRegistry({"var": root}),
+                         data_root=str(tmp_path / "data"),
+                         id_lists_dir=str(tmp_path / "id_lists"))
+    extract_features(d, "train", str(tmp_path / "feats"), STFTConfig(),
+                     compress=False)
+    n_spk = read_utt2num_spk(os.path.join(d, "utt2num_spk"))
+    assert [n_spk[u] for u in ids] == [1, 2, 3, 1, 2, 3]
+    # feature files carry the matching source keys
+    import numpy as np
+    for u, c in zip(ids, (1, 2, 3)):
+        f = np.load(os.path.join(str(tmp_path / "feats"), u + ".npz"))
+        srcs = sorted(k for k in f.files if k != "mix")
+        assert srcs == [f"s{i+1}" for i in range(c)]
