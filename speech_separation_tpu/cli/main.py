@@ -203,12 +203,15 @@ def cmd_oracle(args):
             ctx = mp.get_context("spawn")  # never fork initialized JAX
             with ProcessPoolExecutor(max_workers=args.mj, mp_context=ctx) as pool:
                 futs = [pool.submit(evaluate_oracle, split_dir, args.hard_mask,
-                                    cfg, f".{i}") for i in range(1, args.nj + 1)]
+                                    cfg, f".{i}",
+                                    device=args.device_scoring)
+                        for i in range(1, args.nj + 1)]
                 for f in futs:
                     f.result()
         else:
             for i in range(1, args.nj + 1):
-                evaluate_oracle(split_dir, args.hard_mask, cfg, f".{i}")
+                evaluate_oracle(split_dir, args.hard_mask, cfg, f".{i}",
+                                device=args.device_scoring)
         # move shard outputs up before merging
         kind = "hard" if args.hard_mask else "soft"
         src = os.path.join(split_dir, f"oracle_{kind}_mask_eval")
@@ -218,7 +221,8 @@ def cmd_oracle(args):
             shutil.move(os.path.join(src, name), os.path.join(dst, name))
         means = merge_oracle_shards(args.data_dir, args.hard_mask, args.nj)
     else:
-        evaluate_oracle(args.data_dir, args.hard_mask, cfg)
+        evaluate_oracle(args.data_dir, args.hard_mask, cfg,
+                        device=args.device_scoring)
         means = merge_oracle_shards(args.data_dir, args.hard_mask, 1)
     print(" ".join(f"oracle mean {k}: {v:.2f}" for k, v in means.items()))
 
@@ -571,6 +575,9 @@ def build_parser():
     p = sub.add_parser("oracle", help="oracle-mask upper bound eval")
     p.add_argument("data_dir")
     p.add_argument("--hard-mask", action="store_true")
+    p.add_argument("--device-scoring", action="store_true",
+                   help="batched BSS-eval on the accelerator (two-float; "
+                        "host-f64 fallback via the trust gate)")
     _add_stft(p)
     p.set_defaults(fn=cmd_oracle)
 

@@ -54,9 +54,47 @@ def _stft_rows(signals: list[np.ndarray], cfg: STFTConfig):
     return out
 
 
+def _score_oracle_slab(slab, log):
+    """Device-batched no-permutation BSS-eval of [(seg_id, oracle, est)]
+    cases, grouped by source count, padded to the slab max (zero padding
+    is metric-exact). NaN-poisoned utterances (trust gate,
+    eval/bss_eval_jax.py) are rescored on the host in f64. Returns
+    {seg_id: (sdr, sir, sar)}."""
+    from .bss_eval_jax import bss_eval_sources_batch
+    from .score import _maybe_int16
+
+    results = {}
+    by_count: dict[int, list] = {}
+    for case in slab:
+        by_count.setdefault(case[1].shape[0], []).append(case)
+    for n, group in by_count.items():
+        Lmax = max(c[1].shape[1] for c in group)
+        refs = np.zeros((len(group), n, Lmax), np.float32)
+        ests = np.zeros((len(group), n, Lmax), np.float32)
+        for i, (_sid, oracle, est) in enumerate(group):
+            refs[i, :, : oracle.shape[1]] = oracle
+            ests[i, :, : est.shape[1]] = est
+        sdr, sir, sar, _ = bss_eval_sources_batch(
+            _maybe_int16(refs), _maybe_int16(ests), compute_permutation=False)
+        for i, (sid, oracle, est) in enumerate(group):
+            if (np.all(np.isfinite(sdr[i])) and np.all(np.isfinite(sir[i]))
+                    and np.all(np.isfinite(sar[i]))):
+                results[sid] = (sdr[i], sir[i], sar[i])
+            else:
+                h_sdr, h_sir, h_sar, _ = bss_eval_sources(
+                    oracle, est, compute_permutation=False)
+                results[sid] = (h_sdr, h_sir, h_sar)
+    return results
+
+
 def evaluate_oracle(data_dir: str, hard_mask: bool = False,
                     cfg: STFTConfig = STFTConfig(),
-                    job_suffix: str = "", log=print) -> None:
+                    job_suffix: str = "", device: bool = False,
+                    slab: int = 32, log=print) -> None:
+    """device=True scores slab-wise on the accelerator (two-float
+    BSS-eval, eval/bss_eval_jax.py) instead of per-utterance host f64 —
+    the fast path for large sets, same trust-gated fallback as
+    evaluate_sources."""
     kind = "hard" if hard_mask else "soft"
     dir_out = os.path.join(data_dir, f"oracle_{kind}_mask_eval")
     os.makedirs(dir_out, exist_ok=True)
@@ -68,6 +106,23 @@ def evaluate_oracle(data_dir: str, hard_mask: bool = False,
                      for m in ("SDR", "SIR", "SAR")}
     source_files = {m: open(os.path.join(dir_out, f"source_{m}s.txt" + job_suffix), "w")
                     for m in ("SDR", "SIR", "SAR")}
+
+    pending: list = []   # device mode: [(seg_id, oracle, est)] up to slab
+
+    def emit(seg_id, num_src, sdr, sir, sar):
+        for m, vals in (("SDR", sdr), ("SIR", sir), ("SAR", sar)):
+            session_files[m].write(f"{seg_id} {sum(vals) / num_src}\n")
+            source_files[m].write(
+                seg_id + "".join(f" {v}" for v in vals) + "\n")
+
+    def flush():
+        if not pending:
+            return
+        results = _score_oracle_slab(pending, log)
+        for sid, oracle, _est in pending:
+            sdr, sir, sar = results[sid]
+            emit(sid, oracle.shape[0], sdr, sir, sar)
+        pending.clear()
 
     for reco_id, mix_path in read_scp(os.path.join(data_dir, "wav.scp" + job_suffix)):
         wav_files = source_wavs_for_mix(mix_path)
@@ -114,12 +169,16 @@ def evaluate_oracle(data_dir: str, hard_mask: bool = False,
                 oracle[i] = sources_audio[i][:source_length]
                 est[i, :out_len] = y[i, half: half + out_len]
 
-            sdr, sir, sar, _ = bss_eval_sources(oracle, est,
-                                                compute_permutation=False)
-            for m, vals in (("SDR", sdr), ("SIR", sir), ("SAR", sar)):
-                session_files[m].write(f"{seg_id} {sum(vals) / num_src}\n")
-                source_files[m].write(seg_id + "".join(f" {v}" for v in vals) + "\n")
+            if device:
+                pending.append((seg_id, oracle, est))
+                if len(pending) >= slab:
+                    flush()
+            else:
+                sdr, sir, sar, _ = bss_eval_sources(
+                    oracle, est, compute_permutation=False)
+                emit(seg_id, num_src, sdr, sir, sar)
 
+    flush()
     for f in (*session_files.values(), *source_files.values()):
         f.close()
     log(f"oracle {kind}-mask eval -> {dir_out}")

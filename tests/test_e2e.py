@@ -145,6 +145,24 @@ def test_oracle_eval(corpus):
     means_hard = merge_oracle_shards(tt_dir, hard_mask=True, num_shards=1)
     assert means_hard["SDR"] > 5.0
 
+    # device scoring path: same result files within the two-float scorer's
+    # envelope (utterances the trust gate rejects fall back to host f64,
+    # making them exactly equal)
+    host_lines = open(os.path.join(
+        tt_dir, "oracle_soft_mask_eval", "source_SDRs.txt")).readlines()
+    evaluate_oracle(tt_dir, hard_mask=False, device=True)
+    means_dev = merge_oracle_shards(tt_dir, hard_mask=False, num_shards=1)
+    dev_lines = open(os.path.join(
+        tt_dir, "oracle_soft_mask_eval", "source_SDRs.txt")).readlines()
+    assert len(dev_lines) == len(host_lines)
+    for h, d in zip(sorted(host_lines), sorted(dev_lines)):
+        hk, *hv = h.split()
+        dk, *dv = d.split()
+        assert hk == dk
+        np.testing.assert_allclose([float(x) for x in dv],
+                                   [float(x) for x in hv], atol=0.1)
+    assert abs(means_dev["SDR"] - means["SDR"]) < 0.1
+
 
 def test_resume_continues_training(corpus, tmp_path):
     """start_epoch resume: losses replayed, training continues to the full
