@@ -125,6 +125,10 @@ def main():
 
     train_res = bench_train_step()  # bf16 + Pallas LSTM (the perf path)
     train_f32 = bench_train_step(iters=10, compute_dtype="float32")
+    # batch 128 (MXU-tile-aligned) rides the recurrence's latency almost
+    # free — the per-utterance ceiling; batch 100 stays the headline for
+    # comparability with the reference's configuration
+    train_b128 = bench_train_step(B=128, iters=10)
     dsp_res = bench_dsp_bandwidth()
 
     import jax
@@ -138,6 +142,7 @@ def main():
             "step_ms": round(train_res["step_ms"], 2),
             "compile_s": round(train_res["compile_s"], 1),
             "f32_parity_path_utts_per_sec": round(train_f32["utts_per_sec"], 2),
+            "b128_utts_per_sec": round(train_b128["utts_per_sec"], 2),
             "baseline_utts_per_sec": baseline_utts,
             "baseline_hw": "torch-CPU (reference semantics; no GPU here, no published numbers)",
             "dsp_roundtrip_gb_per_sec": round(dsp_res["gb_per_sec"], 2),
