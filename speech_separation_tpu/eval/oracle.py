@@ -54,23 +54,28 @@ def _stft_rows(signals: list[np.ndarray], cfg: STFTConfig):
     return out
 
 
-def _score_oracle_slab(slab, log):
+def _score_oracle_slab(slab, log, pad_quantum: int = 8000):
     """Device-batched no-permutation BSS-eval of [(seg_id, oracle, est)]
-    cases, grouped by source count, padded to the slab max (zero padding
-    is metric-exact). NaN-poisoned utterances (trust gate,
-    eval/bss_eval_jax.py) are rescored on the host in f64. Returns
-    {seg_id: (sdr, sir, sar)}."""
+    cases, grouped by source count and padded to a QUANTIZED slab max
+    (zero padding is metric-exact; the quantum bounds the number of
+    compiled shapes on variable-length sets, exactly like
+    score._score_device — without it every slab would jit a fresh
+    Gram/LU program and the 'fast path' would lose to the host loop).
+    NaN-poisoned utterances (trust gate, eval/bss_eval_jax.py) are
+    rescored on the host in f64. Returns {seg_id: (sdr, sir, sar)}."""
     from .bss_eval_jax import bss_eval_sources_batch
     from .score import _maybe_int16
 
     results = {}
+    n_host = 0
     by_count: dict[int, list] = {}
     for case in slab:
         by_count.setdefault(case[1].shape[0], []).append(case)
     for n, group in by_count.items():
         Lmax = max(c[1].shape[1] for c in group)
-        refs = np.zeros((len(group), n, Lmax), np.float32)
-        ests = np.zeros((len(group), n, Lmax), np.float32)
+        Lpad = ((Lmax + pad_quantum - 1) // pad_quantum) * pad_quantum
+        refs = np.zeros((len(group), n, Lpad), np.float32)
+        ests = np.zeros((len(group), n, Lpad), np.float32)
         for i, (_sid, oracle, est) in enumerate(group):
             refs[i, :, : oracle.shape[1]] = oracle
             ests[i, :, : est.shape[1]] = est
@@ -84,6 +89,9 @@ def _score_oracle_slab(slab, log):
                 h_sdr, h_sir, h_sar, _ = bss_eval_sources(
                     oracle, est, compute_permutation=False)
                 results[sid] = (h_sdr, h_sir, h_sar)
+                n_host += 1
+    log(f"oracle: scored {len(slab)} on device"
+        + (f" ({n_host} host-f64 fallbacks)" if n_host else ""))
     return results
 
 

@@ -27,20 +27,34 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _best_source_perm(prev: np.ndarray, cur: np.ndarray) -> np.ndarray:
+def _best_source_perm(prev: np.ndarray, cur: np.ndarray,
+                      margin: float = 1e-3) -> np.ndarray:
     """Permutation of ``cur``'s source rows best matching ``prev`` over a
     shared overlap region, by summed normalized correlation. (S, ov)
-    arrays; S! is tiny (S <= 3-4 in practice)."""
+    arrays; S! is tiny (S <= 3-4 in practice).
+
+    (Near-)silent rows carry no evidence: their correlations are noise,
+    so they are zeroed rather than allowed to tie-break, and the identity
+    permutation wins unless an alternative beats it by ``margin`` — a
+    speaker pausing across a window boundary must not flip the output
+    tracks for the rest of the recording."""
     import itertools
     S = prev.shape[0]
-    na = np.linalg.norm(prev, axis=1) + 1e-12
-    nb = np.linalg.norm(cur, axis=1) + 1e-12
-    corr = (prev @ cur.T) / np.outer(na, nb)          # (S, S)
-    best, best_score = None, -np.inf
-    for p in itertools.permutations(range(S)):
-        score = sum(corr[i, p[i]] for i in range(S))
-        if score > best_score:
-            best, best_score = p, score
+    ov = prev.shape[1]
+    na = np.linalg.norm(prev, axis=1)
+    nb = np.linalg.norm(cur, axis=1)
+    # silence threshold: RMS below ~1e-4 of full scale has no speaker
+    # evidence at int16-origin amplitudes
+    floor = 1e-4 * np.sqrt(ov)
+    corr = (prev @ cur.T) / np.outer(na + 1e-12, nb + 1e-12)
+    corr[na < floor, :] = 0.0
+    corr[:, nb < floor] = 0.0
+    scores = {p: sum(corr[i, p[i]] for i in range(S))
+              for p in itertools.permutations(range(S))}
+    identity = tuple(range(S))
+    best = max(scores, key=lambda p: scores[p])
+    if scores[best] <= scores[identity] + margin:
+        best = identity
     return np.asarray(best)
 
 
@@ -161,7 +175,11 @@ class SeparationPipeline:
         if not 0 < V < W:
             raise ValueError(f"need 0 < overlap ({V}) < window ({W})")
         if len(x) <= W:
-            return self.separate([x], S)[0]
+            # keep the length contract (tracks cover the whole input):
+            # the iSTFT returns hop*(T-1) samples, up to hop-1 short
+            tracks = self.separate([x], S)[0]
+            return [np.pad(t.astype(np.float32), (0, len(x) - len(t)))
+                    for t in tracks]
         hop = W - V
         starts = list(range(0, max(len(x) - V, 1), hop))
         outs = self.separate([x[s: s + W] for s in starts], S)

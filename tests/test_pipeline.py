@@ -152,3 +152,23 @@ def test_separate_long_real_model_runs(tiny_model):
     assert all(np.all(np.isfinite(t)) for t in tracks)
     # all full windows share one (n_t, S) fused executable
     assert len(pipe._fns) <= 2
+
+
+def test_best_source_perm_silence_prefers_identity():
+    """Silent overlap rows carry no speaker evidence: their noise
+    correlations must not flip the track assignment (identity wins any
+    near-tie)."""
+    from speech_separation_tpu.eval.pipeline import _best_source_perm
+
+    rng = np.random.default_rng(9)
+    # both previous tracks silent in the overlap -> zero evidence
+    prev = np.zeros((2, 400), np.float32)
+    cur = rng.standard_normal((2, 400)).astype(np.float32)
+    np.testing.assert_array_equal(_best_source_perm(prev, cur), [0, 1])
+    # one silent row: the voiced row still pins the assignment
+    voiced = rng.standard_normal(400).astype(np.float32)
+    prev2 = np.stack([voiced, np.zeros(400, np.float32)])
+    cur2 = np.stack([np.zeros(400, np.float32) + 1e-7,
+                     voiced + 0.05 * rng.standard_normal(400).astype(np.float32)])
+    got = _best_source_perm(prev2, cur2)
+    np.testing.assert_array_equal(got, [1, 0])

@@ -94,7 +94,7 @@ def test_variable_count_corpus_extraction(tmp_path):
     assert [n_spk[u] for u in ids] == [1, 2, 3, 1, 2, 3]
     # feature files carry the matching source keys
     import numpy as np
-    for u, c in zip(ids, (1, 2, 3)):
+    for u, c in zip(ids, 2 * (1, 2, 3)):
         f = np.load(os.path.join(str(tmp_path / "feats"), u + ".npz"))
         srcs = sorted(k for k in f.files if k != "mix")
         assert srcs == [f"s{i+1}" for i in range(c)]
