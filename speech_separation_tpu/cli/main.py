@@ -192,6 +192,13 @@ def cmd_oracle(args):
     from ..dsp import STFTConfig
     cfg = STFTConfig(n_fft=args.fft_dim, hop=args.step_size,
                      sample_rate=args.sample_rate)
+    if args.device_scoring and args.mj > 1:
+        # single-client TPU runtimes: concurrent spawned workers each
+        # creating a JAX client contend for the one device (extra clients
+        # hang or serialize unpredictably) — shards run in-process instead
+        print("warning: --device-scoring runs shards in one process "
+              f"(ignoring --mj {args.mj}; the device is single-client)")
+        args.mj = 1
     if args.nj > 1:
         validate_data_dir(args.data_dir)
         split_dir = split_data_dir(args.data_dir, args.nj)
@@ -225,6 +232,22 @@ def cmd_oracle(args):
                         device=args.device_scoring)
         means = merge_oracle_shards(args.data_dir, args.hard_mask, 1)
     print(" ".join(f"oracle mean {k}: {v:.2f}" for k, v in means.items()))
+
+
+def cmd_bench(args):
+    """Run the repo's benchmark harness (bench.py at the repo root): the
+    reference-scale train-step throughput + DSP-bandwidth JSON line."""
+    import runpy
+    import sys
+    here = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(os.path.dirname(here))
+    bench_path = os.path.join(root, "bench.py")
+    if not os.path.isfile(bench_path):
+        raise SystemExit("bench.py not found next to the package "
+                         f"(looked at {bench_path}); run it from a source "
+                         "checkout")
+    sys.argv = [bench_path] + (["--rsh"] if args.rsh else [])
+    runpy.run_path(bench_path, run_name="__main__")
 
 
 # ------------------------------------------------------------------- recipes
@@ -580,6 +603,12 @@ def build_parser():
                         "host-f64 fallback via the trust gate)")
     _add_stft(p)
     p.set_defaults(fn=cmd_oracle)
+
+    p = sub.add_parser("bench", help="reference-scale throughput benchmark "
+                                     "(one JSON line; bench.py)")
+    p.add_argument("--rsh", action="store_true",
+                   help="measure the RSH full train step instead of uPIT")
+    p.set_defaults(fn=cmd_bench)
 
     p = sub.add_parser("import-model",
                        help="convert a reference torch .mdl state-dict into "

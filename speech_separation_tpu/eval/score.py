@@ -60,15 +60,23 @@ def _score_one(args):
     return utt, sdr, sir, sar, sisdr, sisdri
 
 
-def _maybe_int16(x: np.ndarray) -> np.ndarray:
-    """Exact int16 repacking of float audio in [-1, 1) when every sample
-    is k/32768 (true for un-resampled PCM16 wavs, which is what the
-    pipeline writes); otherwise returns x unchanged."""
+def _case_int16(x: np.ndarray) -> np.ndarray | None:
+    """Exact int16 repacking of one utterance's float audio when every
+    sample is k/32768 (true for un-resampled PCM16 wavs, which is what the
+    pipeline writes); None if any sample is inexact."""
     y = np.rint(x * 32768.0)
     if (np.all(y >= -32768.0) and np.all(y < 32768.0)
             and np.array_equal(y / 32768.0, x)):
         return y.astype(np.int16)
-    return x
+    return None
+
+
+def _maybe_int16(x: np.ndarray) -> np.ndarray:
+    """Slab-level variant: int16 repack when the whole array is exact,
+    else unchanged. Used by the oracle path, where refs (PCM16 sources)
+    and ests (masked-iSTFT floats) legitimately differ in packability."""
+    y = _case_int16(x)
+    return x if y is None else y
 
 
 def _score_device(jobs, log, slab: int = 64, pad_quantum: int = 8000):
@@ -76,36 +84,73 @@ def _score_device(jobs, log, slab: int = 64, pad_quantum: int = 8000):
     within 0.1 dB of the host f64 scorer; tests/test_bss_eval_jax.py).
     Utterances are grouped by source count and padded length (zero padding
     is metric-exact; the quantum bounds the number of compiled shapes) and
-    scored in slabs; SI-SDR stays on the host (cheap). On large test sets
-    this is the fast path: a measured 3k-utterance sweep runs ~18 utts/s
-    end-to-end on this tunnel-attached host vs ~4.7 utts/s host f64
-    (~40 utts/s device-side at batch 16-24 — tools/bench_device_scoring.py),
-    and it frees the host CPU for the rest of the pipeline."""
+    scored in slabs; SI-SDR stays on the host (cheap).
+
+    Host I/O overlaps device compute: loader threads read slab N+1..N+2
+    while slab N scores on the device (the train pipeline's prefetch
+    pattern, train/data.py) — without it the measured 3k sweep was I/O
+    bound at ~18 utts/s against ~40 utts/s device-side
+    (tools/bench_device_scoring.py).
+
+    PCM16 material ships as int16 — half the transfer bytes (the metrics
+    are scale-invariant). The repacking check runs per utterance during
+    slab assembly, and the transport dtype is sticky per run: the first
+    inexact utterance downgrades the rest of the run to float32, so at
+    most one extra compile per shape (not one per dtype flip)."""
+    from concurrent.futures import ThreadPoolExecutor
     from .bss_eval_jax import bss_eval_sources_batch
 
     by_count: dict[int, list] = {}
     for job in jobs:
         by_count.setdefault(job[2], []).append(job)
+    # flat slab list so the prefetcher runs ahead across group boundaries;
+    # each slab holds bounded host memory (load -> score -> discard)
+    slabs = []
+    for num_src, group in by_count.items():
+        for s in range(0, len(group), slab):
+            slabs.append((num_src, group[s: s + slab]))
+
+    def load_slab(num_src, chunk):
+        return [_load_case(utt, mp, num_src, ed) for utt, mp, _n, ed in chunk]
+
+    transport_int16 = True  # sticky: one inexact utterance downgrades
+
+    def pack_slabs(cases, num_src):
+        nonlocal transport_int16
+        Lmax = max(c[0].shape[1] for c in cases)
+        Lpad = ((Lmax + pad_quantum - 1) // pad_quantum) * pad_quantum
+        if transport_int16:
+            packed = []
+            for oracle, est, _mix in cases:
+                o16, e16 = _case_int16(oracle), _case_int16(est)
+                if o16 is None or e16 is None:
+                    transport_int16 = False
+                    break
+                packed.append((o16, e16))
+            if transport_int16:
+                refs = np.zeros((len(cases), num_src, Lpad), np.int16)
+                ests = np.zeros((len(cases), num_src, Lpad), np.int16)
+                for i, (o16, e16) in enumerate(packed):
+                    refs[i, :, : o16.shape[1]] = o16
+                    ests[i, :, : e16.shape[1]] = e16
+                return refs, ests
+        refs = np.zeros((len(cases), num_src, Lpad), np.float32)
+        ests = np.zeros((len(cases), num_src, Lpad), np.float32)
+        for i, (oracle, est, _mix) in enumerate(cases):
+            refs[i, :, : oracle.shape[1]] = oracle
+            ests[i, :, : est.shape[1]] = est
+        return refs, ests
 
     results = []
-    for num_src, group in by_count.items():
-        # slab-wise: load, pad to the slab max (quantized to bound the
-        # number of compiled shapes), score, discard — bounded host memory
-        for s in range(0, len(group), slab):
-            chunk = group[s: s + slab]
-            cases = [_load_case(utt, mp, num_src, ed)
-                     for utt, mp, _n, ed in chunk]
-            Lmax = max(c[0].shape[1] for c in cases)
-            Lpad = ((Lmax + pad_quantum - 1) // pad_quantum) * pad_quantum
-            refs = np.zeros((len(chunk), num_src, Lpad), np.float32)
-            ests = np.zeros((len(chunk), num_src, Lpad), np.float32)
-            for i, (oracle, est, _mix) in enumerate(cases):
-                refs[i, :, : oracle.shape[1]] = oracle
-                ests[i, :, : est.shape[1]] = est
-            # PCM16 material round-trips exactly through int16 — ship half
-            # the bytes (the metrics are scale-invariant, bss_eval_jax)
-            refs = _maybe_int16(refs)
-            ests = _maybe_int16(ests)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        depth = 2
+        futs = [pool.submit(load_slab, *slabs[k])
+                for k in range(min(depth, len(slabs)))]
+        for k, (num_src, chunk) in enumerate(slabs):
+            cases = futs[k].result()
+            if k + depth < len(slabs):
+                futs.append(pool.submit(load_slab, *slabs[k + depth]))
+            refs, ests = pack_slabs(cases, num_src)
             sdr, sir, sar, perm = bss_eval_sources_batch(refs, ests)
             n_host = 0
             for i, ((utt, *_r), (oracle, est, mix)) in enumerate(
@@ -123,6 +168,7 @@ def _score_device(jobs, log, slab: int = 64, pad_quantum: int = 8000):
                     # in float64 on the host
                     results.append(_score_one((utt, *_r)))
                     n_host += 1
+            futs[k] = None  # release the slab's cases
             log(f"scored {len(results)}/{len(jobs)} on device"
                 + (f" ({n_host} host-f64 fallbacks)" if n_host else ""))
     order = {job[0]: i for i, job in enumerate(jobs)}

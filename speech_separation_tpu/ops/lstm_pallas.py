@@ -59,6 +59,15 @@ def _interpret_default() -> bool:
 _VMEM_MARGIN = 24 * 1024 * 1024   # resident weights/state/scratch allowance
 _VMEM_CEILING = 100 * 1024 * 1024  # under the ~112 MB the hw accepts (probed)
 
+_warned: set[str] = set()
+
+
+def _warn_once(msg: str) -> None:
+    if msg not in _warned:
+        _warned.add(msg)
+        import sys
+        print(f"warning: {msg}", file=sys.stderr)
+
 
 def _time_block(T: int, step_bytes: int) -> int:
     """Timesteps per grid step. Larger blocks amortize the per-grid-step
@@ -71,11 +80,22 @@ def _time_block(T: int, step_bytes: int) -> int:
     SEPSEP_LSTM_BLOCK (the tuning knob; 1 recovers the unblocked kernel)
     degrades instead of failing compilation."""
     import os
-    pref = int(os.environ.get("SEPSEP_LSTM_BLOCK", "8"))
+    raw = os.environ.get("SEPSEP_LSTM_BLOCK", "8")
+    try:
+        pref = int(raw)
+    except ValueError:
+        _warn_once(f"SEPSEP_LSTM_BLOCK={raw!r} is not an integer; using 8")
+        pref = 8
     for k in (16, 8, 4, 2):
         if (k <= pref and T % k == 0
                 and 2 * k * step_bytes + _VMEM_MARGIN <= _VMEM_CEILING):
             return k
+    if pref > 1:
+        # diagnosable perf cliff: e.g. odd T at inference without time
+        # padding quietly loses the entire blocking speedup
+        _warn_once(f"LSTM time-blocking fell back to K=1 for T={T} "
+                   f"(no divisor of T in (2,4,8,16) fits VMEM/pref); "
+                   "pad T (time_pad_multiple) to restore the blocked kernel")
     return 1
 
 

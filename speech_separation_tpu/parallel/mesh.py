@@ -47,13 +47,32 @@ def get_mesh() -> Mesh:
     return _default_mesh
 
 
+_pad_warned = False
+
+
 def shard_batch(arrays: dict, mesh: Mesh) -> dict:
     """Place batch arrays with the leading (batch) axis sharded over 'data'.
 
-    Rows must divide evenly — the input pipeline pads every batch to the
-    full static batch size, so callers choose batch_size % mesh_data == 0.
-    """
+    When the row count does not divide the data axis, the batch is padded
+    with dummy rows (zeros + row_mask 0 — the input pipeline's own dummy-row
+    convention, train/data.py make_device_batch) up to the next multiple, so
+    every batch gets real data parallelism. Without this, an indivisible
+    batch (e.g. the reference default 100 on 8 devices) would silently
+    replicate and train single-device-slow. Dummy rows are loss-exact: the
+    archs weight every total/norm/BN statistic by row_mask."""
+    global _pad_warned
     n_data = mesh.shape["data"]
+    B = arrays["row_mask"].shape[0] if "row_mask" in arrays else None
+    if B is not None and B % n_data != 0:
+        Bp = ((B + n_data - 1) // n_data) * n_data
+        if not _pad_warned:
+            _pad_warned = True
+            print(f"note: batch rows {B} padded to {Bp} to shard over "
+                  f"{n_data} data-parallel devices (pick batch sizes "
+                  f"divisible by {n_data} to avoid the pad waste)")
+        arrays = {k: (np.pad(v, [(0, Bp - B)] + [(0, 0)] * (v.ndim - 1))
+                      if v.shape and v.shape[0] == B else v)
+                  for k, v in arrays.items()}
     out = {}
     for k, v in arrays.items():
         if v.shape and v.shape[0] % n_data == 0:

@@ -229,18 +229,32 @@ class _ExpLock:
 
     def __enter__(self):
         os.makedirs(os.path.dirname(self.path), exist_ok=True)
-        if os.path.isfile(self.path):
+        while True:
+            try:
+                # atomic acquisition: O_EXCL closes the check-then-write
+                # race between two trainers starting simultaneously
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return self
+            except FileExistsError:
+                pass
             try:
                 pid = int(open(self.path).read().strip())
                 os.kill(pid, 0)  # raises if the owner is gone
                 raise ExpDirLocked(
                     f"{os.path.dirname(self.path)} is being trained by live "
                     f"pid {pid}; refusing to run concurrently")
+            except FileNotFoundError:
+                continue  # owner released between open attempts; retry
             except (ValueError, ProcessLookupError, PermissionError):
-                pass  # stale lock
-        with open(self.path, "w") as f:
-            f.write(str(os.getpid()))
-        return self
+                # stale lock (dead or unparsable owner): remove and retry;
+                # if several waiters race here, unlink may fail for all but
+                # one — they loop back to the O_EXCL attempt either way
+                try:
+                    os.remove(self.path)
+                except OSError:
+                    pass
 
     def __exit__(self, *exc):
         try:
@@ -402,12 +416,9 @@ def _train_locked(data_dir: str, exp_dir: str, loop_cfg: TrainLoopConfig,
     def transfer_fn(batch):
         # runs in the prefetch thread: H2D overlaps device compute
         if isinstance(batch, list):  # mixed batch: list of sub-batches
-            subs = []
-            for sb in batch:
-                rows = sb["row_mask"].shape[0]
-                sb_mesh = mesh if (mesh is not None
-                                   and rows % mesh.devices.size == 0) else None
-                subs.append(_device_put_batch(sb, sb_mesh))
+            # shard_batch row-pads indivisible sub-batches, so every
+            # sub-batch gets real data parallelism
+            subs = [_device_put_batch(sb, mesh) for sb in batch]
             return {"_subs": subs,
                     "_n_real": float(sum(sb["row_mask"].sum() for sb in batch))}
         dev = _device_put_batch(batch, mesh)

@@ -39,13 +39,14 @@ def make_corpus(n_utts, F, S, length_choices, seed):
     return out
 
 
-def _batches(corpus, batch_size, epoch, seed, shuffle=True):
+def _batches(corpus, batch_size, epoch, seed, shuffle=True, pad_multiple=1):
     order = (np.random.default_rng(seed * 100003 + epoch).permutation(len(corpus))
              if shuffle else np.arange(len(corpus)))
     for s in range(0, len(order), batch_size):
         idxs = order[s: s + batch_size]
         samples = [corpus[i] for i in idxs]
         T = max(s_["length"] for s_ in samples)
+        T = ((T + pad_multiple - 1) // pad_multiple) * pad_multiple
         B = len(samples)
         F = samples[0]["mix"].shape[1]
         S = samples[0]["sources"].shape[0]
@@ -95,14 +96,15 @@ class _TorchSide:
         loss.backward()
         torch.nn.utils.clip_grad_norm_(self.model.parameters(), 0.25)
         self.opt.step()
-        return float(loss)
+        return float(loss.detach())
 
-    def cv_pass(self, cv_corpus, batch_size, seed):
+    def cv_pass(self, cv_corpus, batch_size, seed, pad_multiple=1):
         self.model.eval()
         tot, nrm = 0.0, 0.0
         with torch.no_grad():
             for mix, sources, lengths in _batches(cv_corpus, batch_size, 0,
-                                                  seed, shuffle=False):
+                                                  seed, shuffle=False,
+                                                  pad_multiple=pad_multiple):
                 loss, norm = self.loss(mix, sources, lengths)
                 tot += float(loss) * norm
                 nrm += norm
@@ -110,9 +112,12 @@ class _TorchSide:
 
 
 def run_parity(arch_name, corpus, cv_corpus, *, F, S, H, L, batch_size,
-               n_epochs, cv_every=5, seed=0, log=lambda s: None):
+               n_epochs, cv_every=5, seed=0, pad_multiple=1, with_torch=True,
+               log=lambda s: None):
     """Returns dict with per-step 'j_train'/'t_train' and per-CV-point
-    'j_cv'/'t_cv' loss lists."""
+    'j_cv'/'t_cv' loss lists, plus the final models ('params'/'state' on the
+    JAX side, 'torch_model' when with_torch). with_torch=False runs only the
+    JAX side (for seed-to-seed run-noise yardsticks)."""
     arch = upit if arch_name == "uPIT" else rsh
     kwargs = dict(feat_dim=F, hidden=H, num_layers=L, zero_init_hidden=True)
     if arch_name == "uPIT":
@@ -120,7 +125,7 @@ def run_parity(arch_name, corpus, cv_corpus, *, F, S, H, L, batch_size,
     cfg = arch.Config(**kwargs)
     params, state = arch.init(jax.random.PRNGKey(seed), cfg)
 
-    tside = _TorchSide(arch_name, params, F, S, H, L)
+    tside = _TorchSide(arch_name, params, F, S, H, L) if with_torch else None
 
     optimizer = make_optimizer(TrainLoopConfig())
     opt_state = optimizer.init(params)
@@ -130,28 +135,36 @@ def run_parity(arch_name, corpus, cv_corpus, *, F, S, H, L, batch_size,
     key = jax.random.PRNGKey(seed + 1)
     j_train, t_train, j_cv, t_cv = [], [], [], []
     for epoch in range(n_epochs):
-        for mix, sources, lengths in _batches(corpus, batch_size, epoch, seed):
+        for mix, sources, lengths in _batches(corpus, batch_size, epoch, seed,
+                                              pad_multiple=pad_multiple):
             key, sk = jax.random.split(key)
             batch = _jax_batch(mix, sources, lengths)
             params, state, opt_state, loss, _ = step(params, state, opt_state,
                                                      batch, sk)
             j_train.append(float(loss))
-            t_train.append(tside.train_step(mix, sources, lengths))
+            if tside:
+                t_train.append(tside.train_step(mix, sources, lengths))
         if (epoch + 1) % cv_every == 0 and cv_corpus:
             tot, nrm = 0.0, 0.0
             for mix, sources, lengths in _batches(cv_corpus, batch_size, 0,
-                                                  seed, shuffle=False):
+                                                  seed, shuffle=False,
+                                                  pad_multiple=pad_multiple):
                 key, sk = jax.random.split(key)
                 loss, norm = eval_step(params, state,
                                        _jax_batch(mix, sources, lengths), sk)
                 tot += float(loss) * float(norm)
                 nrm += float(norm)
             j_cv.append(tot / nrm)
-            t_cv.append(tside.cv_pass(cv_corpus, batch_size, seed))
+            if tside:
+                t_cv.append(tside.cv_pass(cv_corpus, batch_size, seed,
+                                          pad_multiple=pad_multiple))
         log(f"{arch_name} epoch {epoch + 1}: step {len(j_train)} "
-            f"jax {j_train[-1]:.6f} torch {t_train[-1]:.6f}")
+            f"jax {j_train[-1]:.6f}"
+            + (f" torch {t_train[-1]:.6f}" if tside else ""))
     return {"j_train": j_train, "t_train": t_train,
-            "j_cv": j_cv, "t_cv": t_cv}
+            "j_cv": j_cv, "t_cv": t_cv,
+            "params": params, "state": state, "cfg": cfg,
+            "torch_model": tside.model if tside else None}
 
 
 def deviation_table(j, t, ranges):
