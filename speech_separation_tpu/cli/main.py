@@ -164,20 +164,28 @@ def cmd_separate(args):
                               model_kwargs=read_model_config(args.model_config),
                               stft_cfg=cfg, batch_size=args.batch_size,
                               num_spk=args.num_spk or None)
-    signals = [load_wav(p, sr=cfg.sample_rate)[0] for p in args.wavs]
-    if args.long_form:
-        outs = [pipe.separate_long(s, window_sec=args.window_sec,
-                                   overlap_sec=args.overlap_sec)
-                for s in signals]
-    else:
-        outs = pipe.separate(signals)
     os.makedirs(args.out_dir, exist_ok=True)
-    for path, ests in zip(args.wavs, outs):
+
+    def write(path, ests):
         stem = os.path.splitext(os.path.basename(path))[0]
         for s, est in enumerate(ests):
             out_path = os.path.join(args.out_dir, f"{stem}_s{s + 1}.wav")
             write_wav_int16(out_path, cfg.sample_rate, est)
-    print(f"separated {len(signals)} files -> {args.out_dir}")
+
+    if args.long_form:
+        for path in args.wavs:
+            x, _ = load_wav(path, sr=cfg.sample_rate)
+            write(path, pipe.separate_long(x, window_sec=args.window_sec,
+                                           overlap_sec=args.overlap_sec))
+    else:
+        # streaming: audio loads batch-by-batch (bounded memory at any
+        # input-list size), ordered by wav-header lengths
+        from ..utils.audio import wav_num_samples
+        lengths = [wav_num_samples(p) for p in args.wavs]
+        loader = lambda i: load_wav(args.wavs[i], sr=cfg.sample_rate)[0]
+        for i, ests in pipe.separate_stream(loader, lengths):
+            write(args.wavs[i], ests)
+    print(f"separated {len(args.wavs)} files -> {args.out_dir}")
 
 
 def cmd_score(args):
@@ -329,11 +337,13 @@ def _run_eval_fused(args, test_sets, model, model_path, model_config):
     """Waveform-direct evaluation: mixtures stream through the fused
     wav->separated-wavs program (eval/pipeline.py); no feature files, no
     mask npz, no separate reconstruction stage. Output wavs and scoring are
-    identical in layout to the staged path."""
+    identical in layout to the staged path. Streaming: only a couple of
+    prefetched batches of audio are ever resident (bounded peak RSS at
+    100k-utterance scale), ordered by wav-header lengths."""
     from ..datadir.scp import read_scp
     from ..dsp import STFTConfig
     from ..eval.pipeline import SeparationPipeline
-    from ..utils.audio import load_wav, write_wav_int16
+    from ..utils.audio import load_wav, wav_num_samples, write_wav_int16
 
     cfg = STFTConfig(n_fft=args.fft_dim, hop=args.step_size,
                      sample_rate=args.sample_rate)
@@ -344,15 +354,17 @@ def _run_eval_fused(args, test_sets, model, model_path, model_config):
         data_dir = os.path.join(args.data_root, ds)
         out_dir = os.path.join(args.model_dir, f"output_{model}", ds)
         entries = read_scp(os.path.join(data_dir, "wav.scp"))
-        utts = [u for u, _ in entries]
-        signals = [load_wav(p, sr=cfg.sample_rate)[0] for _, p in entries]
-        outs = pipe.separate(signals)
-        for utt, ests in zip(utts, outs):
+        lengths = [wav_num_samples(p) for _, p in entries]
+        loader = lambda i: load_wav(entries[i][1], sr=cfg.sample_rate)[0]
+        n = 0
+        for i, ests in pipe.separate_stream(loader, lengths):
+            utt = entries[i][0]
             for s, est in enumerate(ests):
                 path = os.path.join(out_dir, "wav", f"s{s + 1}", utt + ".wav")
                 os.makedirs(os.path.dirname(path), exist_ok=True)
                 write_wav_int16(path, cfg.sample_rate, est)
-        print(f"separated {len(utts)} mixtures -> {out_dir}/wav")
+            n += 1
+        print(f"separated {n} mixtures -> {out_dir}/wav")
 
 
 def cmd_run_eval(args):

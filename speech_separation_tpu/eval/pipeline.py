@@ -113,35 +113,63 @@ class SeparationPipeline:
         self._fns[key] = fused
         return fused
 
-    def separate(self, signals: list[np.ndarray],
-                 num_spk: int | None = None) -> list[list[np.ndarray]]:
-        """Separate a list of waveforms. Returns, per input, a list of
-        num_spk estimated source waveforms of length hop*(T_i - 1)."""
+    def separate_stream(self, loader, lengths, num_spk: int | None = None,
+                        prefetch: int = 2):
+        """Streaming separation core: yields ``(index, [tracks])`` per input
+        with BOUNDED host memory — at most ``prefetch`` length-sorted
+        batches of audio are resident at once, loaded by background threads
+        while the device separates the current batch.
+
+        ``loader(i)`` returns waveform i; ``lengths[i]`` is its (possibly
+        approximate) sample count, used only to order/bucket — the padded
+        buffer is sized from the actually loaded audio. This is the memory
+        shape that survives 100k-utterance test sets; ``separate`` wraps it
+        for in-memory lists."""
+        from concurrent.futures import ThreadPoolExecutor
+
         scfg = self.stft_cfg
         S = num_spk or self.num_spk
-        out: list[list[np.ndarray]] = [None] * len(signals)
-        order = sorted(range(len(signals)), key=lambda i: len(signals[i]))
+        order = sorted(range(len(lengths)), key=lambda i: lengths[i])
+        groups = [order[s: s + self.batch_size]
+                  for s in range(0, len(order), self.batch_size)]
 
-        for start in range(0, len(order), self.batch_size):
-            idxs = order[start: start + self.batch_size]
-            group = [signals[i] for i in idxs]
+        def load_group(idxs):
+            group = [np.asarray(loader(i), np.float32) for i in idxs]
             max_len = _round_up(max(len(s) for s in group), self.length_quantum)
             n_t = num_frames(max_len, scfg.hop)
             Lp = max_len + scfg.n_fft
             xp = np.zeros((len(group), Lp), np.float32)
             counts = np.zeros((len(group),), np.int32)
             for r, s in enumerate(group):
-                padded = reflect_pad_center(np.asarray(s, np.float32), scfg.n_fft)
+                padded = reflect_pad_center(s, scfg.n_fft)
                 xp[r, : len(padded)] = padded
                 counts[r] = num_frames(len(s), scfg.hop)
+            return xp, counts, n_t
 
-            self._rng, step_rng = jax.random.split(self._rng)
-            fused = self._fused_fn(n_t, S)
-            y = np.asarray(fused(jnp.asarray(xp), jnp.asarray(counts), step_rng))
-            half = scfg.n_fft // 2
-            for r, i in enumerate(idxs):
-                L_out = istft_output_length(int(counts[r]), scfg.hop)
-                out[i] = [y[r, s, half: half + L_out] for s in range(S)]
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [pool.submit(load_group, g) for g in groups[:prefetch]]
+            for k, idxs in enumerate(groups):
+                xp, counts, n_t = futs[k].result()
+                futs[k] = None  # release the batch buffers after use
+                if k + prefetch < len(groups):
+                    futs.append(pool.submit(load_group, groups[k + prefetch]))
+                self._rng, step_rng = jax.random.split(self._rng)
+                fused = self._fused_fn(n_t, S)
+                y = np.asarray(fused(jnp.asarray(xp), jnp.asarray(counts),
+                                     step_rng))
+                half = scfg.n_fft // 2
+                for r, i in enumerate(idxs):
+                    L_out = istft_output_length(int(counts[r]), scfg.hop)
+                    yield i, [y[r, s, half: half + L_out] for s in range(S)]
+
+    def separate(self, signals: list[np.ndarray],
+                 num_spk: int | None = None) -> list[list[np.ndarray]]:
+        """Separate a list of waveforms. Returns, per input, a list of
+        num_spk estimated source waveforms of length hop*(T_i - 1)."""
+        out: list[list[np.ndarray]] = [None] * len(signals)
+        for i, tracks in self.separate_stream(
+                signals.__getitem__, [len(s) for s in signals], num_spk):
+            out[i] = tracks
         return out
 
     def separate_long(self, signal: np.ndarray, num_spk: int | None = None,
@@ -164,22 +192,29 @@ class SeparationPipeline:
           accumulated window coverage, so edges and a short final window
           are handled uniformly).
 
-        Returns num_spk tracks covering the whole input (the iSTFT's
-        hop-rounding may leave the final few samples silent).
+        Returns num_spk tracks covering the whole input with no silent
+        tail: window and overlap are rounded to STFT-hop multiples and the
+        mix is zero-padded to a hop multiple, so every window's iSTFT
+        (hop*(T-1) samples) spans its window exactly and every joint gets a
+        true crossfade; the up-to-hop-1 pad samples are trimmed off the
+        output.
         """
         sr = self.stft_cfg.sample_rate
         S = num_spk or self.num_spk
         x = np.asarray(signal, np.float32)
-        W = int(window_sec * sr)
-        V = int(overlap_sec * sr)
-        if not 0 < V < W:
-            raise ValueError(f"need 0 < overlap ({V}) < window ({W})")
+        stft_hop = self.stft_cfg.hop
+        if not 0 < overlap_sec < window_sec:
+            raise ValueError(f"need 0 < overlap ({overlap_sec}) < window "
+                             f"({window_sec}) seconds")
+        W = max(_round_up(int(window_sec * sr), stft_hop), 2 * stft_hop)
+        V = min(max(_round_up(int(overlap_sec * sr), stft_hop), stft_hop),
+                W - stft_hop)
+        orig_len = len(x)
+        x = np.pad(x, (0, -len(x) % stft_hop))
         if len(x) <= W:
-            # keep the length contract (tracks cover the whole input):
-            # the iSTFT returns hop*(T-1) samples, up to hop-1 short
             tracks = self.separate([x], S)[0]
-            return [np.pad(t.astype(np.float32), (0, len(x) - len(t)))
-                    for t in tracks]
+            # hop-multiple input => full-length iSTFT output
+            return [np.asarray(t, np.float32)[:orig_len] for t in tracks]
         hop = W - V
         starts = list(range(0, max(len(x) - V, 1), hop))
         outs = self.separate([x[s: s + W] for s in starts], S)
@@ -206,5 +241,6 @@ class SeparationPipeline:
             acc[:, s0: s0 + Lk] += t * wgt
             wacc[s0: s0 + Lk] += wgt
             prev_tail = t[:, hop:] if Lk > hop else t[:, :0]
-        return [(acc[s] / np.maximum(wacc, 1e-12)).astype(np.float32)
+        return [(acc[s, :orig_len]
+                 / np.maximum(wacc[:orig_len], 1e-12)).astype(np.float32)
                 for s in range(S)]

@@ -64,6 +64,35 @@ def load_wav(path: str, sr: int | None = None,
     return x, file_sr
 
 
+def wav_num_samples(path: str) -> int:
+    """Per-channel sample count from the RIFF header alone (no data read).
+    Used to order/bucket utterances for streaming separation without
+    loading the audio; falls back to a full load on non-RIFF files."""
+    import struct
+    try:
+        with open(path, "rb") as f:
+            riff, _size, wave = struct.unpack("<4sI4s", f.read(12))
+            if riff != b"RIFF" or wave != b"WAVE":
+                raise ValueError("not RIFF/WAVE")
+            block_align = None
+            while True:
+                hdr = f.read(8)
+                if len(hdr) < 8:
+                    raise ValueError("no data chunk")
+                cid, csize = struct.unpack("<4sI", hdr)
+                if cid == b"fmt ":
+                    fmt = f.read(csize)
+                    block_align = struct.unpack("<H", fmt[12:14])[0]
+                elif cid == b"data":
+                    if not block_align:
+                        raise ValueError("data before fmt")
+                    return csize // block_align
+                else:
+                    f.seek(csize + (csize & 1), 1)
+    except (OSError, ValueError, struct.error):
+        return len(load_wav(path)[0])
+
+
 def write_wav_int16(path: str, sr: int, x: np.ndarray) -> None:
     """Write float waveform as int16 with the reference's x*32767 scaling
     (reference steps/reconstruct_sources.py:41-42)."""
