@@ -129,6 +129,9 @@ def main():
     # free — the per-utterance ceiling; batch 100 stays the headline for
     # comparability with the reference's configuration
     train_b128 = bench_train_step(B=128, iters=10)
+    # the second flagship arch at reference scale (archs/RSH.py:155-157):
+    # S sequential extraction passes + greedy assignment + backward
+    train_rsh = bench_train_step(iters=10, arch_name="RSH")
     dsp_res = bench_dsp_bandwidth()
 
     import jax
@@ -143,6 +146,8 @@ def main():
             "compile_s": round(train_res["compile_s"], 1),
             "f32_parity_path_utts_per_sec": round(train_f32["utts_per_sec"], 2),
             "b128_utts_per_sec": round(train_b128["utts_per_sec"], 2),
+            "rsh_utts_per_sec": round(train_rsh["utts_per_sec"], 2),
+            "rsh_step_ms": round(train_rsh["step_ms"], 2),
             "baseline_utts_per_sec": baseline_utts,
             "baseline_hw": "torch-CPU (reference semantics; no GPU here, no published numbers)",
             "dsp_roundtrip_gb_per_sec": round(dsp_res["gb_per_sec"], 2),

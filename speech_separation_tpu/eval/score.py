@@ -100,13 +100,21 @@ def _score_device(jobs, log, slab: int = 64, pad_quantum: int = 8000):
     from concurrent.futures import ThreadPoolExecutor
     from .bss_eval_jax import bss_eval_sources_batch
 
+    from ..utils.audio import wav_num_samples
+
     by_count: dict[int, list] = {}
     for job in jobs:
         by_count.setdefault(job[2], []).append(job)
     # flat slab list so the prefetcher runs ahead across group boundaries;
-    # each slab holds bounded host memory (load -> score -> discard)
+    # each slab holds bounded host memory (load -> score -> discard).
+    # Groups are length-sorted (RIFF headers, no audio read) before
+    # slabbing: mixed-length slabs would all pad to the corpus max, and
+    # BSS-eval work scales ~linearly with padded length — on a 3-5 s
+    # corpus sorting cuts ~25% of the padded FLOPs
     slabs = []
     for num_src, group in by_count.items():
+        group = sorted(group, key=lambda job: wav_num_samples(
+            os.path.join(job[3], "s1", job[0] + ".wav")))
         for s in range(0, len(group), slab):
             slabs.append((num_src, group[s: s + slab]))
 

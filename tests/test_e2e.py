@@ -201,3 +201,44 @@ def test_checkpoint_embeds_model_kwargs(corpus, tmp_path):
     _, cfg2, _, _ = load_model(os.path.join(exp_dir, "final.mdl"),
                                model_kwargs={"num_spk": "2"})
     assert cfg2.hidden == 16
+
+
+def test_evaluate_sources_device_matches_host(corpus, tmp_path):
+    """evaluate_sources(device=True) — the _score_device slab path with
+    length-sorted slabs, prefetch threads, and int16 transport — must
+    agree with the host f64 scorer (same rows, metrics within the
+    two-float envelope; trust-gate fallbacks are exactly equal)."""
+    from speech_separation_tpu.datadir.scp import read_scp
+    from speech_separation_tpu.eval import evaluate_sources
+    from speech_separation_tpu.utils.audio import load_wav, write_wav_int16
+
+    tt_dir = corpus["tt_dir"]
+    entries = read_scp(os.path.join(tt_dir, "wav.scp"))
+    # fake estimates: noisy remixes of the oracle sources (non-trivial
+    # SIR/SAR, not bit-trivial permutations)
+    rng = np.random.default_rng(3)
+    exp_dir = str(tmp_path / "exp")
+    for utt, mix_path in entries:
+        srcs = [load_wav(mix_path.replace("/mix/", f"/s{s}/"))[0]
+                for s in (1, 2)]
+        L = min(len(s) for s in srcs)
+        for s in (0, 1):
+            est = (0.9 * srcs[s][:L] + 0.1 * srcs[1 - s][:L]
+                   + 0.01 * rng.standard_normal(L).astype(np.float32))
+            p = os.path.join(exp_dir, "wav", f"s{s + 1}", utt + ".wav")
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            write_wav_int16(p, 8000, est)
+
+    host = evaluate_sources(tt_dir, exp_dir)
+    host_rows = open(os.path.join(exp_dir, "results",
+                                  "source_SDRs.txt")).readlines()
+    dev = evaluate_sources(tt_dir, exp_dir, device=True)
+    dev_rows = open(os.path.join(exp_dir, "results",
+                                 "source_SDRs.txt")).readlines()
+
+    # identical utterance order (wav.scp order restored after slab sort)
+    assert [r.split()[0] for r in dev_rows] == [r.split()[0] for r in host_rows]
+    for m in ("SDR", "SIR", "SAR"):
+        assert abs(dev[m] - host[m]) < 0.1, (m, dev[m], host[m])
+    # SI-SDR is host-computed in both paths: same permutation -> equal
+    assert abs(dev["SI-SDR"] - host["SI-SDR"]) < 1e-6
