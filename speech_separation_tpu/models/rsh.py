@@ -44,6 +44,7 @@ import numpy as np
 
 from .blstm import init_blstm_params, blstm_forward, random_hidden
 from ..ops.batchnorm import init_batchnorm, batchnorm_apply
+from ..ops.mxu import head_dot
 
 NAME = "RSH"
 
@@ -98,8 +99,8 @@ def _forward_pass(cfg: Config, params, bn_state, combo, lengths, row_mask,
                                   compute_dtype=cfg.mxu_dtype,
                                   save_activations=train)
     y, bn_state = batchnorm_apply(params["bn"], bn_state, y, row_mask, train)
-    y = jnp.dot(y.astype(cfg.mxu_dtype), params["lin"]["w"].astype(cfg.mxu_dtype),
-                preferred_element_type=jnp.float32) + params["lin"]["b"]
+    # head matmul: bf16 gradients too in bfloat16 mode (ops/mxu.py)
+    y = head_dot(y, params["lin"]["w"], cfg.mxu_dtype) + params["lin"]["b"]
     return jax.nn.sigmoid(y), bn_state, hidden_out
 
 

@@ -38,6 +38,7 @@ import numpy as np
 
 from .blstm import init_blstm_params, blstm_forward, random_hidden
 from ..ops.batchnorm import init_batchnorm, batchnorm_apply
+from ..ops.mxu import head_dot
 from ..ops.pit import pairwise_mse, permutation_min_loss
 
 NAME = "uPIT"
@@ -127,8 +128,8 @@ def forward(cfg: Config, params, state, x, lengths, row_mask, rng, train: bool):
                          compute_dtype=cfg.mxu_dtype,
                          save_activations=train)
     y, bn_state = batchnorm_apply(params["bn"], state["bn"], y, row_mask, train)
-    y = jnp.dot(y.astype(cfg.mxu_dtype), params["lin"]["w"].astype(cfg.mxu_dtype),
-                preferred_element_type=jnp.float32) + params["lin"]["b"]
+    # head matmul: bf16 gradients too in bfloat16 mode (ops/mxu.py)
+    y = head_dot(y, params["lin"]["w"], cfg.mxu_dtype) + params["lin"]["b"]
     return jax.nn.sigmoid(y), {"bn": bn_state}
 
 
