@@ -450,19 +450,25 @@ def _train_locked(data_dir: str, exp_dir: str, loop_cfg: TrainLoopConfig,
                 # reference mixed-batch semantics: grads accumulate over the
                 # speaker-count sub-batches (BN state threads through them in
                 # order), then ONE clip+Adam step on the summed gradient
-                # scaled by the summed norm (train_qsub.py:116-122)
-                total_sum, norm_sum, acc = 0.0, 0.0, None
+                # scaled by the summed norm (train_qsub.py:116-122).
+                # totals/norms stay device scalars so dispatch is never
+                # serialized by a per-sub-batch host sync — the only
+                # host transfer is the logging read after the step
+                total_sum = norm_sum = acc = None
                 for sb in dev_batch["_subs"]:
                     key, sub_key = jax.random.split(key)
                     total, norm_sb, state, grads = grad_step(
                         params, state, sb, sub_key)
-                    total_sum += float(total)
-                    norm_sum += float(norm_sb)
+                    total_sum = (total if total_sum is None
+                                 else total_sum + total)
+                    norm_sum = (norm_sb if norm_sum is None
+                                else norm_sum + norm_sb)
                     acc = (grads if acc is None else
                            jax.tree_util.tree_map(jnp.add, acc, grads))
                 params, opt_state = apply_step(params, opt_state, acc,
-                                               jnp.float32(norm_sum))
-                loss, norm = total_sum / norm_sum, norm_sum
+                                               norm_sum)
+                norm = float(norm_sum)
+                loss = float(total_sum) / norm
             else:
                 params, state, opt_state, loss, norm = update_step(
                     params, state, opt_state, dev_batch, step_key)
