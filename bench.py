@@ -99,6 +99,35 @@ def bench_dsp_bandwidth(B=64, n_sec=6.0, iters=20):
             "audio_sec_per_sec": B * n_sec / dt}
 
 
+def bench_serving(B=16, n_sec=6.0, rounds=6):
+    """Fused serving path (eval/pipeline.py): wav in -> STFT -> BLSTM mask
+    -> masked iSTFT -> wav out, full-size uPIT, one jit program; includes
+    the host<->device transfers a server would pay."""
+    import tempfile
+
+    import jax
+    from speech_separation_tpu.eval.pipeline import SeparationPipeline
+    from speech_separation_tpu.models import upit
+    from speech_separation_tpu.train.checkpoint import save_checkpoint
+
+    cfg = upit.Config()  # full size
+    params, state = upit.init(jax.random.PRNGKey(0), cfg)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "m.mdl")
+        save_checkpoint(path, params=params, state=state, meta={"arch": "uPIT"})
+        pipe = SeparationPipeline(path, batch_size=B)
+        rng = np.random.default_rng(0)
+        sigs = [(0.1 * rng.standard_normal(int(8000 * n_sec))).astype(np.float32)
+                for _ in range(B)]
+        pipe.separate(sigs)  # compile
+        t0 = time.time()
+        for _ in range(rounds):
+            pipe.separate(sigs)
+        dt = (time.time() - t0) / rounds
+    return {"utts_per_sec": B / dt, "batch_ms": dt * 1e3,
+            "audio_sec_per_sec": B * n_sec / dt}
+
+
 def main():
     here = os.path.dirname(os.path.abspath(__file__))
     import sys
@@ -133,6 +162,7 @@ def main():
     # S sequential extraction passes + greedy assignment + backward
     train_rsh = bench_train_step(iters=10, arch_name="RSH")
     dsp_res = bench_dsp_bandwidth()
+    serve_res = bench_serving()
 
     import jax
     value = train_res["utts_per_sec"]
@@ -152,6 +182,8 @@ def main():
             "baseline_hw": "torch-CPU (reference semantics; no GPU here, no published numbers)",
             "dsp_roundtrip_gb_per_sec": round(dsp_res["gb_per_sec"], 2),
             "dsp_audio_sec_per_sec": round(dsp_res["audio_sec_per_sec"], 0),
+            "serving_utts_per_sec": round(serve_res["utts_per_sec"], 2),
+            "serving_audio_sec_per_sec": round(serve_res["audio_sec_per_sec"], 0),
             "device": str(jax.devices()[0]),
         },
     }

@@ -48,6 +48,7 @@ sys.path.insert(0, os.path.join(ROOT, "tests"))
 F_DIM, NUM_SPK, HIDDEN, LAYERS = 257, 2, 64, 2
 BATCH = 16
 PAD_MULTIPLE = 32  # both sides pad T to this; bounds XLA compile count
+ARCH = "uPIT"      # set by --arch; RSH reuses the same corpus/protocol
 
 
 def log(msg):
@@ -96,12 +97,12 @@ def load_harness_corpus(data_dir):
 
 def save_jax_model(path, params, state):
     from speech_separation_tpu.train.checkpoint import save_checkpoint
-    meta = {"arch": "uPIT",
-            "model_kwargs": {"feat_dim": str(F_DIM), "num_spk": str(NUM_SPK),
-                             "hidden": str(HIDDEN),
-                             "num_layers": str(LAYERS),
-                             "zero_init_hidden": "true"}}
-    save_checkpoint(path, params=params, state=state, meta=meta)
+    kwargs = {"feat_dim": str(F_DIM), "hidden": str(HIDDEN),
+              "num_layers": str(LAYERS), "zero_init_hidden": "true"}
+    if ARCH == "uPIT":
+        kwargs["num_spk"] = str(NUM_SPK)
+    save_checkpoint(path, params=params, state=state,
+                    meta={"arch": ARCH, "model_kwargs": kwargs})
 
 
 def save_torch_model(path, model):
@@ -137,7 +138,8 @@ def score_model(tag, ckpt_path, test_dir, workdir):
     return evaluate_sources(test_dir, exp_dir, log=log)
 
 
-SECTION_MARK = "## §5 Convergence-level quality parity"
+UPIT_MARK = "## §5 Convergence-level quality parity"
+RSH_MARK = "## §5b RSH convergence parity"
 
 
 def _spread(vals):
@@ -145,20 +147,33 @@ def _spread(vals):
 
 
 def write_parity_section(res):
-    """Replace/append the §5 block of PARITY.md."""
+    """Replace/append this arch's convergence block of PARITY.md (the uPIT
+    block comes first; an existing other-arch block is preserved)."""
     path = os.path.join(ROOT, "PARITY.md")
     text = open(path).read() if os.path.isfile(path) else "# PARITY\n"
-    if SECTION_MARK in text:
-        text = text[: text.index(SECTION_MARK)].rstrip() + "\n"
+
+    def split_out(t, mark):
+        """(text-without-block, block) — block runs to the next '## ' or EOF."""
+        if mark not in t:
+            return t, ""
+        i = t.index(mark)
+        j = t.find("\n## ", i + len(mark))
+        if j == -1:
+            return t[:i].rstrip() + "\n", t[i:]
+        return (t[:i] + t[j + 1:]).rstrip() + "\n", t[i: j + 1]
+    text, upit_block = split_out(text, UPIT_MARK)
+    text, rsh_block = split_out(text, RSH_MARK)
+
+    mark = UPIT_MARK if ARCH == "uPIT" else RSH_MARK
     pairs = res["pairs"]
     seeds = sorted(pairs)
     lines = [
-        SECTION_MARK, "",
+        mark, "",
         "Training *to convergence* reaches the same model quality "
         "(tools/run_convergence.py; VERDICT round-2 #1). One synthetic "
         f"2-speaker corpus ({res['n_train']} train / {res['n_cv']} cv / "
         f"{res['n_test']} test utts, real |STFT| features, F=257), "
-        f"2x{HIDDEN} BLSTM uPIT, batch {BATCH}, Adam(1e-3)+clip 0.25, "
+        f"2x{HIDDEN} BLSTM {ARCH}, batch {BATCH}, Adam(1e-3)+clip 0.25, "
         f"{res['epochs']} epochs ({res['steps']} optimizer steps). "
         f"{len(seeds)} PAIRED seeds: each pair trains the framework and the "
         "torch transcription side by side from identical init with "
@@ -198,9 +213,15 @@ def write_parity_section(res):
         f"- wall: {res['wall_s']:.0f}s on JAX-CPU + torch-CPU "
         "(tools/run_convergence.py, rerunnable).", "",
     ]
+    block = "\n".join(lines) + "\n"
+    if ARCH == "uPIT":
+        upit_block = block
+    else:
+        rsh_block = block
     with open(path, "w") as f:
-        f.write(text + "\n" + "\n".join(lines))
-    log(f"wrote {SECTION_MARK!r} to {path}")
+        f.write(text + "\n" + upit_block
+                + ("\n" + rsh_block if rsh_block else ""))
+    log(f"wrote {mark!r} to {path}")
 
 
 def main():
@@ -209,9 +230,12 @@ def main():
                                                       "convergence"))
     ap.add_argument("--epochs", type=int, default=80)
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+    ap.add_argument("--arch", default="uPIT", choices=["uPIT", "RSH"])
     ap.add_argument("--quick", action="store_true",
                     help="tiny sizes for a smoke run")
     args = ap.parse_args()
+    global ARCH
+    ARCH = args.arch
 
     n_train, n_cv, n_test = (32, 8, 8) if args.quick else (160, 40, 40)
     epochs = 6 if args.quick else args.epochs
@@ -235,16 +259,16 @@ def main():
     pairs = {}
     n_steps = 0
     for i, seed in enumerate(seeds):
-        log(f"pair {i + 1}/{len(seeds)}: framework + torch, seed {seed}, "
-            "interleaved ...")
-        r = run_parity("uPIT", corpus, cv_corpus, F=F_DIM, S=NUM_SPK,
+        log(f"pair {i + 1}/{len(seeds)}: framework + torch {ARCH}, "
+            f"seed {seed}, interleaved ...")
+        r = run_parity(ARCH, corpus, cv_corpus, F=F_DIM, S=NUM_SPK,
                        H=HIDDEN, L=LAYERS, batch_size=BATCH, n_epochs=epochs,
                        cv_every=5, seed=seed, pad_multiple=PAD_MULTIPLE,
                        with_torch=True, log=log)
         n_steps = len(r["j_train"])
-        j_path = os.path.join(ckpt_dir, f"jax_seed{seed}.mdl")
-        t_mdl = os.path.join(ckpt_dir, f"torch_seed{seed}_ref.mdl")
-        t_path = os.path.join(ckpt_dir, f"torch_seed{seed}.mdl")
+        j_path = os.path.join(ckpt_dir, f"jax_{ARCH}_seed{seed}.mdl")
+        t_mdl = os.path.join(ckpt_dir, f"torch_{ARCH}_seed{seed}_ref.mdl")
+        t_path = os.path.join(ckpt_dir, f"torch_{ARCH}_seed{seed}.mdl")
         save_jax_model(j_path, r["params"], r["state"])
         save_torch_model(t_mdl, r["torch_model"])
         import_reference_model(t_mdl, t_path, log=log)
@@ -252,8 +276,8 @@ def main():
         for side, path, train_c, cv_c in (
                 ("jax", j_path, r["j_train"], r["j_cv"]),
                 ("torch", t_path, r["t_train"], r["t_cv"])):
-            means = score_model(f"{side}_seed{seed}", path, dirs["test"],
-                                args.workdir)
+            means = score_model(f"{side}_{ARCH}_seed{seed}", path,
+                                dirs["test"], args.workdir)
             pair[side] = {"final_train": train_c[-1],
                           "final_cv": float(np.mean(cv_c[-3:])),
                           "final_cv_last": cv_c[-1],
@@ -294,7 +318,9 @@ def main():
            "pairs": {str(s): pairs[s] for s in seeds}, "summary": summary,
            "wall_s": time.time() - t_start}
     res["pairs"] = pairs  # keyed by int seed for write_parity_section
-    with open(os.path.join(args.workdir, "convergence.json"), "w") as f:
+    json_name = ("convergence.json" if ARCH == "uPIT"
+                 else f"convergence_{ARCH}.json")
+    with open(os.path.join(args.workdir, json_name), "w") as f:
         json.dump({**res, "pairs": {str(s): pairs[s] for s in seeds}}, f,
                   indent=1)
     if not args.quick:
