@@ -288,3 +288,38 @@ def test_separate_long_mid_stream_silence_and_swap(tiny_model, monkeypatch):
                / np.linalg.norm(s_true[s]))
         assert err < 1e-2, f"track {s} diverged (err {err}) — a silent " \
             "overlap or the window-5 flip broke the alignment chain"
+
+
+def test_rsh_fused_pipeline_and_stream(tmp_path):
+    """The fused wav->wavs program also serves RSH (S sequential extraction
+    passes inside one jit); stream and in-memory paths agree."""
+    from speech_separation_tpu.models import rsh
+    from speech_separation_tpu.train.checkpoint import save_checkpoint
+
+    cfg = rsh.Config(feat_dim=257, hidden=16, num_layers=1,
+                     zero_init_hidden=True)
+    params, state = rsh.init(jax.random.PRNGKey(2), cfg)
+    path = str(tmp_path / "rsh.mdl")
+    save_checkpoint(path, params=params, state=state, epoch=0,
+                    meta={"arch": "RSH"})
+    pipe = SeparationPipeline(path,
+                              model_kwargs={"hidden": "16", "num_layers": "1",
+                                            "zero_init_hidden": "1"},
+                              batch_size=2, length_quantum=4096, num_spk=2)
+    rng = np.random.default_rng(4)
+    sigs = [(0.1 * rng.standard_normal(n)).astype(np.float32)
+            for n in (5000, 3200, 4100)]
+    ref = pipe.separate(sigs)
+    assert all(len(tracks) == 2 for tracks in ref)
+    assert all(np.all(np.isfinite(t)) for tracks in ref for t in tracks)
+    # three-speaker extraction from the same model: one more pass
+    three = pipe.separate(sigs[:1], num_spk=3)
+    assert len(three[0]) == 3
+
+    got = [None] * len(sigs)
+    for i, tracks in pipe.separate_stream(sigs.__getitem__,
+                                          [len(s) for s in sigs]):
+        got[i] = tracks
+    for r, g in zip(ref, got):
+        for a, b in zip(r, g):
+            np.testing.assert_array_equal(a, b)
