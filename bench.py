@@ -152,17 +152,30 @@ def main():
         with open(baseline_path) as f:
             baseline_utts = json.load(f).get("utts_per_sec")
 
+    import sys as _sys
+
+    def _phase(msg):
+        print(f"# bench: {msg}", file=_sys.stderr, flush=True)
+
+    _phase("uPIT bf16 step")
     train_res = bench_train_step()  # bf16 + Pallas LSTM (the perf path)
+    _phase(f"uPIT bf16 done: {train_res['step_ms']:.1f} ms "
+           f"(compile {train_res['compile_s']:.0f}s); f32 next")
     train_f32 = bench_train_step(iters=10, compute_dtype="float32")
     # batch 128 (MXU-tile-aligned) rides the recurrence's latency almost
     # free — the per-utterance ceiling; batch 100 stays the headline for
     # comparability with the reference's configuration
+    _phase(f"f32 done: {train_f32['step_ms']:.1f} ms; b128 next")
     train_b128 = bench_train_step(B=128, iters=10)
     # the second flagship arch at reference scale (archs/RSH.py:155-157):
     # S sequential extraction passes + greedy assignment + backward
+    _phase(f"b128 done: {train_b128['step_ms']:.1f} ms; RSH next")
     train_rsh = bench_train_step(iters=10, arch_name="RSH")
+    _phase(f"RSH done: {train_rsh['step_ms']:.1f} ms; dsp next")
     dsp_res = bench_dsp_bandwidth()
+    _phase("dsp done; serving next")
     serve_res = bench_serving()
+    _phase("serving done")
 
     import jax
     value = train_res["utts_per_sec"]
