@@ -242,6 +242,39 @@ def cmd_oracle(args):
     print(" ".join(f"oracle mean {k}: {v:.2f}" for k, v in means.items()))
 
 
+def cmd_info(args):
+    """Inspect a checkpoint: arch, hyperparameters, training state."""
+    import numpy as np
+    from ..train.checkpoint import load_checkpoint
+    ckpt = load_checkpoint(args.model)
+    meta = ckpt.get("meta", {}) or {}
+    print(f"arch: {meta.get('arch', '?')}")
+    for k, v in sorted((meta.get("model_kwargs") or {}).items()):
+        print(f"  {k} = {v}")
+    if meta.get("imported_from"):
+        print(f"imported from: {meta['imported_from']}")
+    if ckpt.get("epoch") is not None:
+        print(f"epoch: {ckpt['epoch']}")
+    leaves = [np.asarray(x) for x in _tree_leaves(ckpt.get("params"))]
+    if leaves:
+        print(f"parameters: {sum(int(l.size) for l in leaves):,} "
+              f"({len(leaves)} arrays)")
+    print("optimizer state: "
+          + ("present" if ckpt.get("opt_state") is not None else "absent"))
+    print("rng state: "
+          + ("present" if ckpt.get("rng") is not None else "absent"))
+
+
+def _tree_leaves(tree):
+    if tree is None:
+        return []
+    if isinstance(tree, dict):
+        return [x for v in tree.values() for x in _tree_leaves(v)]
+    if isinstance(tree, (list, tuple)):
+        return [x for v in tree for x in _tree_leaves(v)]
+    return [tree]
+
+
 def cmd_bench(args):
     """Run the repo's benchmark harness (bench.py at the repo root): the
     reference-scale train-step throughput + DSP-bandwidth JSON line."""
@@ -615,6 +648,11 @@ def build_parser():
                         "host-f64 fallback via the trust gate)")
     _add_stft(p)
     p.set_defaults(fn=cmd_oracle)
+
+    p = sub.add_parser("info", help="inspect a checkpoint (arch, "
+                                    "hyperparameters, state)")
+    p.add_argument("model")
+    p.set_defaults(fn=cmd_info)
 
     p = sub.add_parser("bench", help="reference-scale throughput benchmark "
                                      "(one JSON line; bench.py)")

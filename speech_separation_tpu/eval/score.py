@@ -239,5 +239,12 @@ def evaluate_sources(data_dir: str, exp_dir: str, num_workers: int = 0,
         vals = np.asarray(vals)
         _write_stats(os.path.join(results_dir, f"{name}_stats.txt"), vals)
         means[name] = float(np.mean(vals))
+    # machine-readable companion to the reference's txt files (an addition;
+    # the txt formats above remain the compatibility surface)
+    import json
+    with open(os.path.join(results_dir, "summary.json"), "w") as f:
+        json.dump({"n_utts": len(entries), "mean": means,
+                   "scorer": "device-two-float" if device else "host-f64"},
+                  f, indent=1)
     log(" ".join(f"mean {k}: {v:.2f}" for k, v in means.items()))
     return means

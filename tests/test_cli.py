@@ -98,3 +98,22 @@ def test_bench_subcommand_registered():
     assert args.fn is cmd_bench and args.rsh is False
     args = build_parser().parse_args(["bench", "--rsh"])
     assert args.rsh is True
+
+
+def test_info_subcommand(tmp_path, capsys):
+    import jax
+    from speech_separation_tpu.models import upit
+    from speech_separation_tpu.train.checkpoint import save_checkpoint
+    from speech_separation_tpu.cli.main import main
+
+    cfg = upit.Config(feat_dim=17, num_spk=2, hidden=8, num_layers=1)
+    params, state = upit.init(jax.random.PRNGKey(0), cfg)
+    p = str(tmp_path / "m.mdl")
+    save_checkpoint(p, params=params, state=state, epoch=7,
+                    meta={"arch": "uPIT",
+                          "model_kwargs": {"feat_dim": "17", "hidden": "8",
+                                           "num_layers": "1"}})
+    main(["info", p])
+    out = capsys.readouterr().out
+    assert "arch: uPIT" in out and "epoch: 7" in out
+    assert "feat_dim = 17" in out and "parameters: 2,274" in out
