@@ -34,11 +34,11 @@ SDR/SIR/SAR — round 1's f32 version was off by up to ~2 dB in SAR.
 Utterances whose Gram f32 cannot resolve at all are NaN-poisoned via the
 refinement-residual trust gate; eval/score.py rescores them on the host in
 f64 automatically. This is the documented fast path for large scoring
-sweeps — a measured 3000-utterance sweep (4 s utterances,
-tools/bench_device_scoring.py) runs at 18 utts/s end-to-end on the
-tunnel-attached dev host (3.9x the host f64 scorer; max deviation
-4e-4 dB) and ~40 utts/s device-side at batch 16-24; bss_eval.py remains
-the bit-authoritative reference.
+sweeps (measured several-fold past the host f64 scorer; max deviation
+4e-4 dB — `tools/bench_device_scoring.py` for the device-side rate,
+`tools/bench_scoring_e2e.py` for the full on-disk `evaluate_sources`
+path with prefetch + length-sorted slabs); bss_eval.py remains the
+bit-authoritative reference.
 
 Replaces the reference's per-utterance host scoring loop
 (steps/evaluate_sources.py:57, mir_eval.separation.bss_eval_sources).

@@ -98,3 +98,22 @@ def test_load_fortran_order_member(tmp_path):
     mout = np.zeros((64, 30), np.float32)
     native.load_npz_2d_transposed(path, "cx", mout, mode=1)
     np.testing.assert_allclose(mout[:40], np.abs(carr).T, rtol=1e-6)
+
+
+def test_wav_num_samples_matches_load():
+    """Header-only length (streaming planner) == decoded length, for PCM16
+    and float32 wavs and for non-RIFF files via the fallback."""
+    import tempfile, os
+    import numpy as np
+    from scipy.io import wavfile
+    from speech_separation_tpu.utils.audio import load_wav, wav_num_samples
+
+    with tempfile.TemporaryDirectory() as d:
+        rng = np.random.default_rng(0)
+        p16 = os.path.join(d, "a.wav")
+        wavfile.write(p16, 8000, (rng.standard_normal(12345) * 8000
+                                  ).astype(np.int16))
+        pf32 = os.path.join(d, "b.wav")
+        wavfile.write(pf32, 8000, rng.standard_normal(777).astype(np.float32))
+        for p in (p16, pf32):
+            assert wav_num_samples(p) == len(load_wav(p)[0])
