@@ -185,10 +185,8 @@ def main():
         with open(baseline_path) as f:
             baseline_utts = json.load(f).get("utts_per_sec")
 
-    import sys as _sys
-
     def _phase(msg):
-        print(f"# bench: {msg}", file=_sys.stderr, flush=True)
+        print(f"# bench: {msg}", file=sys.stderr, flush=True)
 
     _phase("uPIT bf16 step")
     train_res = bench_train_step()  # bf16 + Pallas LSTM (the perf path)

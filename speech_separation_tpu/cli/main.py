@@ -200,13 +200,17 @@ def cmd_oracle(args):
     from ..dsp import STFTConfig
     cfg = STFTConfig(n_fft=args.fft_dim, hop=args.step_size,
                      sample_rate=args.sample_rate)
-    if args.device_scoring and args.mj > 1:
-        # single-client TPU runtimes: concurrent spawned workers each
-        # creating a JAX client contend for the one device (extra clients
-        # hang or serialize unpredictably) — shards run in-process instead
-        print("warning: --device-scoring runs shards in one process "
-              f"(ignoring --mj {args.mj}; the device is single-client)")
-        args.mj = 1
+    if args.mj > 1:
+        # oracle workers ALWAYS use the device (the masked STFT/iSTFT runs
+        # as jnp programs, device scoring or not); on single-client TPU
+        # runtimes concurrent spawned clients hang or serialize
+        # unpredictably — run shards in-process there. CPU backends
+        # multi-process fine.
+        import jax
+        if jax.default_backend() == "tpu":
+            print("warning: oracle shards run in one process on this "
+                  f"single-client TPU (ignoring --mj {args.mj})")
+            args.mj = 1
     if args.nj > 1:
         validate_data_dir(args.data_dir)
         split_dir = split_data_dir(args.data_dir, args.nj)
@@ -255,7 +259,9 @@ def cmd_info(args):
         print(f"imported from: {meta['imported_from']}")
     if ckpt.get("epoch") is not None:
         print(f"epoch: {ckpt['epoch']}")
-    leaves = [np.asarray(x) for x in _tree_leaves(ckpt.get("params"))]
+    import jax
+    leaves = [np.asarray(x)
+              for x in jax.tree_util.tree_leaves(ckpt.get("params"))]
     if leaves:
         print(f"parameters: {sum(int(l.size) for l in leaves):,} "
               f"({len(leaves)} arrays)")
@@ -263,16 +269,6 @@ def cmd_info(args):
           + ("present" if ckpt.get("opt_state") is not None else "absent"))
     print("rng state: "
           + ("present" if ckpt.get("rng") is not None else "absent"))
-
-
-def _tree_leaves(tree):
-    if tree is None:
-        return []
-    if isinstance(tree, dict):
-        return [x for v in tree.values() for x in _tree_leaves(v)]
-    if isinstance(tree, (list, tuple)):
-        return [x for v in tree for x in _tree_leaves(v)]
-    return [tree]
 
 
 def cmd_bench(args):

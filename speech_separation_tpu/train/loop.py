@@ -229,32 +229,51 @@ class _ExpLock:
 
     def __enter__(self):
         os.makedirs(os.path.dirname(self.path), exist_ok=True)
-        while True:
-            try:
-                # atomic acquisition: O_EXCL closes the check-then-write
-                # race between two trainers starting simultaneously
-                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
-                os.close(fd)
-                return self
-            except FileExistsError:
-                pass
-            try:
-                pid = int(open(self.path).read().strip())
-                os.kill(pid, 0)  # raises if the owner is gone
-                raise ExpDirLocked(
-                    f"{os.path.dirname(self.path)} is being trained by live "
-                    f"pid {pid}; refusing to run concurrently")
-            except FileNotFoundError:
-                continue  # owner released between open attempts; retry
-            except (ValueError, ProcessLookupError, PermissionError):
-                # stale lock (dead or unparsable owner): remove and retry;
-                # if several waiters race here, unlink may fail for all but
-                # one — they loop back to the O_EXCL attempt either way
+        # the PID is written to a private file first and hard-linked into
+        # place: the lock always APPEARS with its content (no reader can
+        # see a half-written lock), and link() is atomic-fail-if-exists
+        tmp = f"{self.path}.{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(str(os.getpid()))
+        try:
+            while True:
                 try:
-                    os.remove(self.path)
-                except OSError:
+                    os.link(tmp, self.path)
+                    return self
+                except FileExistsError:
                     pass
+                try:
+                    pid = int(open(self.path).read().strip())
+                except (FileNotFoundError, OSError):
+                    continue  # released between attempts; retry
+                except ValueError:
+                    pid = -1  # unparsable => stale (content is atomic)
+                if pid > 0:
+                    try:
+                        os.kill(pid, 0)  # raises if the owner is gone
+                        live = True
+                    except ProcessLookupError:
+                        live = False
+                    except PermissionError:
+                        live = True  # exists under another uid
+                    if live:
+                        raise ExpDirLocked(
+                            f"{os.path.dirname(self.path)} is being trained "
+                            f"by live pid {pid}; refusing to run "
+                            "concurrently")
+                # stale: steal via rename — atomic, so exactly ONE waiter
+                # wins the steal; the rest see FileNotFoundError and retry
+                steal = f"{self.path}.stale.{os.getpid()}"
+                try:
+                    os.rename(self.path, steal)
+                    os.remove(steal)
+                except OSError:
+                    pass  # another waiter stole it first; retry the link
+        finally:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
     def __exit__(self, *exc):
         try:

@@ -82,6 +82,8 @@ def wav_num_samples(path: str) -> int:
                 cid, csize = struct.unpack("<4sI", hdr)
                 if cid == b"fmt ":
                     fmt = f.read(csize)
+                    if csize & 1:  # RIFF pads odd chunks with one byte
+                        f.seek(1, 1)
                     block_align = struct.unpack("<H", fmt[12:14])[0]
                 elif cid == b"data":
                     if not block_align:

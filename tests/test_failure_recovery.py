@@ -111,3 +111,46 @@ def test_reference_resume_drops_optimizer_state(tiny_data, tmp_path):
     with open(os.path.join(exp, "train_stats", "train_loss.txt")) as f:
         epochs = [int(l.split()[0]) for l in f.read().splitlines()]
     assert epochs == [1, 2, 3, 4]
+
+
+def _lock_contender(exp_dir, barrier, results, idx):
+    import time
+    from speech_separation_tpu.train.loop import _ExpLock, ExpDirLocked
+    barrier.wait()
+    try:
+        with _ExpLock(exp_dir):
+            results[idx] = 1
+            time.sleep(4)
+    except ExpDirLocked:
+        results[idx] = 0
+
+
+def test_exp_lock_stale_steal_is_exclusive(tmp_path):
+    """Round-3 review finding: with a stale lock present, N simultaneous
+    trainers must resolve to EXACTLY one owner (the old remove-then-create
+    recovery let two waiters both acquire). Six spawned processes race
+    through the stale-steal path behind a barrier; the winner holds the
+    lock longer than the losers' whole attempt."""
+    import multiprocessing as mp
+    import os
+
+    exp_dir = str(tmp_path / "exp")
+    os.makedirs(exp_dir)
+    with open(os.path.join(exp_dir, ".train.lock"), "w") as f:
+        f.write("notapid")  # unparsable => stale
+
+    n = 6
+    ctx = mp.get_context("spawn")
+    barrier = ctx.Barrier(n)
+    results = ctx.Array("i", [-1] * n)
+    procs = [ctx.Process(target=_lock_contender,
+                         args=(exp_dir, barrier, results, i))
+             for i in range(n)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=120)
+        assert p.exitcode == 0
+    assert sum(results[:]) == 1, list(results[:])
+    # lock released after the winner's exit
+    assert not os.path.exists(os.path.join(exp_dir, ".train.lock"))
