@@ -141,3 +141,33 @@ def test_train_driver_reference_batching(tmp_path):
     assert losses[-1] < losses[0]
     cv = open(tmp_path / "exp" / "train_stats" / "cv_loss.txt").read().split()
     assert cv[0] == "002" and np.isfinite(float(cv[1]))
+
+
+def test_train_driver_reference_batching_on_mesh(tmp_path):
+    """Mixed-batch mode on the 8-device mesh: sub-batches with indivisible
+    row counts go through shard_batch's dummy-row padding (round-3 change:
+    they previously replicated silently); per-epoch losses must match the
+    single-device run exactly up to reduction order."""
+    import jax
+    from speech_separation_tpu.train.loop import train
+
+    assert len(jax.devices()) == 8
+    _write_corpus(str(tmp_path / "feats"))
+    kwargs = {"feat_dim": str(F), "hidden": str(H), "num_layers": str(L),
+              "zero_init_hidden": "true"}  # random hidden is shape-dependent
+
+    def run(tag, use_mesh):
+        cfg = TrainLoopConfig(arch="RSH", batch_size=BATCH, num_epochs=2,
+                              time_pad_multiple=4, reference_batching=True,
+                              cv_every=2, make_plots=False, seed=0)
+        train(str(tmp_path / "feats"), str(tmp_path / f"exp_{tag}"), cfg,
+              cv_data_dir=str(tmp_path / "feats"), model_kwargs=kwargs,
+              use_mesh=use_mesh)
+        stats = tmp_path / f"exp_{tag}" / "train_stats"
+        return ([float(l.split()[1]) for l in open(stats / "train_loss.txt")],
+                [float(l.split()[1]) for l in open(stats / "cv_loss.txt")])
+
+    mesh_tr, mesh_cv = run("mesh", True)
+    single_tr, single_cv = run("single", False)
+    np.testing.assert_allclose(mesh_tr, single_tr, rtol=2e-4)
+    np.testing.assert_allclose(mesh_cv, single_cv, rtol=2e-4)
