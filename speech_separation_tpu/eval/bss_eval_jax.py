@@ -350,12 +350,39 @@ def bss_eval_sources_batch(reference_sources, estimated_sources,
     B = refs.shape[0]
     if max_batch is None:
         max_batch = default_max_batch(refs.shape[1], refs.shape[2], flen)
+
+    # Shape discipline: a ragged tail chunk (B % max_batch) would compile
+    # its own XLA program (~30 s on the TPU backend, which dwarfs the few
+    # wasted rows) — pad it to max_batch by REPEATING real rows (repeats
+    # keep Grams well-conditioned; zero rows would NaN the trust gate) and
+    # drop the padded outputs.  Only when a full chunk already exists:
+    # a single small call (tests, tiny sets) keeps its exact shape.
+    def chunk_arrays(x, s, e):
+        c = x[s:e]
+        if e - s < max_batch and B > max_batch:
+            reps = np.arange(max_batch) % (e - s)
+            c = c[reps]
+        return c
+
+    # Two-deep software pipeline: dispatch chunk k+1 (async H2D + async
+    # XLA execution) before materializing chunk k's outputs, so transfers
+    # ride under device compute.  Only the small (B, n) metric outputs and
+    # one chunk's raw inputs are ever in flight alongside the executing
+    # program, so HBM high-water is unchanged.
+    starts = list(range(0, B, max_batch))
     outs = []
-    for s in range(0, B, max_batch):
-        chunk = slice(s, min(s + max_batch, B))
-        r = _bss_eval_batch(jnp.asarray(refs[chunk]), jnp.asarray(ests[chunk]),
+    pending = []  # (device_result_tuple, n_valid_rows)
+    for s in starts:
+        e = min(s + max_batch, B)
+        r = _bss_eval_batch(jnp.asarray(chunk_arrays(refs, s, e)),
+                            jnp.asarray(chunk_arrays(ests, s, e)),
                             flen, compute_permutation)
-        outs.append(tuple(np.asarray(x) for x in r))
+        pending.append((r, e - s))
+        if len(pending) > 1:
+            r0, nv = pending.pop(0)
+            outs.append(tuple(np.asarray(x)[:nv] for x in r0))
+    for r0, nv in pending:
+        outs.append(tuple(np.asarray(x)[:nv] for x in r0))
     sdr = np.concatenate([o[0] for o in outs])
     sir = np.concatenate([o[1] for o in outs])
     sar = np.concatenate([o[2] for o in outs])

@@ -98,7 +98,7 @@ def _score_device(jobs, log, slab: int = 64, pad_quantum: int = 8000):
     inexact utterance downgrades the rest of the run to float32, so at
     most one extra compile per shape (not one per dtype flip)."""
     from concurrent.futures import ThreadPoolExecutor
-    from .bss_eval_jax import bss_eval_sources_batch
+    from .bss_eval_jax import bss_eval_sources_batch, default_max_batch
 
     from ..utils.audio import wav_num_samples
 
@@ -111,12 +111,31 @@ def _score_device(jobs, log, slab: int = 64, pad_quantum: int = 8000):
     # slabbing: mixed-length slabs would all pad to the corpus max, and
     # BSS-eval work scales ~linearly with padded length — on a 3-5 s
     # corpus sorting cuts ~25% of the padded FLOPs
+    hdr_len = {job[0]: wav_num_samples(
+        os.path.join(job[3], "s1", job[0] + ".wav")) for job in jobs}
+    # Shape policy: every distinct padded length compiles its own XLA
+    # program (~30 s on the TPU backend, and the persistent compile cache
+    # does not engage there — docs/performance.md).  On small corpora the
+    # extra compiles cost more than the padded-FLOP waste they avoid, so
+    # pad everything to ONE corpus-level length; past the breakeven
+    # (~10k utts at 30 s/compile vs ~25% FLOP waste on a 3-5 s corpus)
+    # switch to per-slab quantized lengths.
+    single_shape = len(jobs) <= int(
+        os.environ.get("SEPSEP_SCORE_SINGLE_SHAPE_MAX", "10000") or "10000")
+    global_pad = ((max(hdr_len.values()) + pad_quantum - 1)
+                  // pad_quantum) * pad_quantum if single_shape else None
+
     slabs = []
     for num_src, group in by_count.items():
-        group = sorted(group, key=lambda job: wav_num_samples(
-            os.path.join(job[3], "s1", job[0] + ".wav")))
-        for s in range(0, len(group), slab):
-            slabs.append((num_src, group[s: s + slab]))
+        group = sorted(group, key=lambda job: hdr_len[job[0]])
+        step = slab
+        if global_pad is not None:
+            # size slabs as a whole number of device chunks so full slabs
+            # split with no ragged (row-padded) tail chunk
+            mb = default_max_batch(num_src, global_pad)
+            step = mb * max(1, slab // mb)
+        for s in range(0, len(group), step):
+            slabs.append((num_src, group[s: s + step]))
 
     def load_slab(num_src, chunk):
         return [_load_case(utt, mp, num_src, ed) for utt, mp, _n, ed in chunk]
@@ -127,6 +146,8 @@ def _score_device(jobs, log, slab: int = 64, pad_quantum: int = 8000):
         nonlocal transport_int16
         Lmax = max(c[0].shape[1] for c in cases)
         Lpad = ((Lmax + pad_quantum - 1) // pad_quantum) * pad_quantum
+        if global_pad is not None:
+            Lpad = max(Lpad, global_pad)  # hdr fallback can under-read
         if transport_int16:
             packed = []
             for oracle, est, _mix in cases:
@@ -149,17 +170,32 @@ def _score_device(jobs, log, slab: int = 64, pad_quantum: int = 8000):
             ests[i, :, : est.shape[1]] = est
         return refs, ests
 
+    import time as _time
+
     results = []
+    t_sweep0 = _time.monotonic()
+    t_loadwait = t_pack = t_dev = t_post = 0.0
+    t_dev_first = None  # first slab carries the compile
     with ThreadPoolExecutor(max_workers=2) as pool:
         depth = 2
         futs = [pool.submit(load_slab, *slabs[k])
                 for k in range(min(depth, len(slabs)))]
         for k, (num_src, chunk) in enumerate(slabs):
+            t0 = _time.monotonic()
             cases = futs[k].result()
+            t_loadwait += _time.monotonic() - t0
             if k + depth < len(slabs):
                 futs.append(pool.submit(load_slab, *slabs[k + depth]))
+            t0 = _time.monotonic()
             refs, ests = pack_slabs(cases, num_src)
+            t_pack += _time.monotonic() - t0
+            t0 = _time.monotonic()
             sdr, sir, sar, perm = bss_eval_sources_batch(refs, ests)
+            dt = _time.monotonic() - t0
+            t_dev += dt
+            if t_dev_first is None:
+                t_dev_first = dt
+            t0 = _time.monotonic()
             n_host = 0
             for i, ((utt, *_r), (oracle, est, mix)) in enumerate(
                     zip(chunk, cases)):
@@ -177,8 +213,14 @@ def _score_device(jobs, log, slab: int = 64, pad_quantum: int = 8000):
                     results.append(_score_one((utt, *_r)))
                     n_host += 1
             futs[k] = None  # release the slab's cases
+            t_post += _time.monotonic() - t0
             log(f"scored {len(results)}/{len(jobs)} on device"
                 + (f" ({n_host} host-f64 fallbacks)" if n_host else ""))
+    total = _time.monotonic() - t_sweep0
+    log(f"device scoring anatomy: total {total:.1f}s = load-wait "
+        f"{t_loadwait:.1f} + pack {t_pack:.1f} + device {t_dev:.1f} "
+        f"(first slab incl. compile {t_dev_first or 0:.1f}) + "
+        f"host-SI/fallback {t_post:.1f}")
     order = {job[0]: i for i, job in enumerate(jobs)}
     return sorted(results, key=lambda r: order[r[0]])
 

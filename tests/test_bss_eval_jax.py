@@ -98,6 +98,25 @@ def test_ar_material_within_0p1_db_of_host_f64():
         np.testing.assert_allclose(sar[b], sar_np, atol=0.1, err_msg="SAR")
 
 
+def test_chunked_pipeline_matches_single_call():
+    """Shape-discipline path: with max_batch forcing multiple chunks AND a
+    ragged tail (B % max_batch != 0), the tail chunk is row-padded by
+    repeating real rows and its padded outputs dropped, while the two-deep
+    dispatch pipeline overlaps chunk k+1 with chunk k's readback.  All of
+    that must be invisible in the results: same scores/permutations as one
+    exact-shape call, for every utterance including the tail."""
+    cases = [_mixture_case(s, L=3000) for s in range(5)]
+    refs = np.stack([c[0] for c in cases]).astype(np.float32)
+    ests = np.stack([c[1] for c in cases]).astype(np.float32)
+
+    one = bss_eval_sources_batch(refs, ests, flen=32)
+    chunked = bss_eval_sources_batch(refs, ests, flen=32, max_batch=2)
+    assert all(np.asarray(x).shape[0] == 5 for x in chunked)
+    np.testing.assert_array_equal(chunked[3], one[3])  # permutations
+    for a, b in zip(chunked[:3], one[:3]):
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+
 def test_int16_inputs_match_float_scoring():
     """PCM16 shipping path: int16 refs/ests (raw samples) must score
     identically to the float32 k/32768 representation — every BSS-eval

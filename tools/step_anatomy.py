@@ -119,14 +119,17 @@ def main():
 
     timed("forward_loss", lambda b, k: fwd(params0, state0, b, k), batch, key)
 
-    # 4. value_and_grad, no optimizer
+    # 4. value_and_grad, no optimizer.  The returned scalar must DEPEND on
+    # every gradient leaf or XLA dead-code-eliminates the whole backward
+    # pass (first version of this probe measured "backward" == forward).
     @jax.jit
     def vgrad(params, state, batch, key):
         def lossf(p):
             loss, aux = upit.loss_fn(cfg, p, state, batch, key, True)
             return loss
         loss, grads = jax.value_and_grad(lossf)(params)
-        return loss
+        gnorm = sum(jnp.vdot(g, g) for g in jax.tree_util.tree_leaves(grads))
+        return loss + 1e-30 * gnorm
 
     timed("forward_backward", lambda b, k: vgrad(params0, state0, b, k),
           batch, key)
