@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """Full-size end-to-end demonstration on the real TPU: the REFERENCE-SCALE
-model (uPIT BLSTM 2x600, ~9.3 M params — archs/uPIT.py:115-119) trained
+model (uPIT BLSTM 2x600, ~13.4 M params — archs/uPIT.py:115-119) trained
 waveform-direct (STFT inside the train step, no feature files) on a
 synthetic 2-speaker corpus, evaluated masks -> wavs -> device BSS-eval.
 Appends a section to demo/RESULTS.md.
@@ -74,7 +74,7 @@ reconstruct_sources("data/fs_tt", out_dir)
 means = evaluate_sources("data/fs_tt", out_dir, device=True)
 
 with open("RESULTS.md", "a") as f:
-    f.write("\n## Full-size model (2x600, ~9.3 M params) at the reference "
+    f.write("\n## Full-size model (2x600, ~13.4 M params) at the reference "
             "training configuration\n\n")
     f.write("The flagship path end-to-end on the TPU: waveform-direct "
             "training (STFT inside\nthe jit'd train step, no feature "

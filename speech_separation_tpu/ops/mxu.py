@@ -1,59 +1,27 @@
-"""MXU-dtype matmul helpers.
+"""MXU-dtype matmul helper for the mask head.
 
-`jnp.dot(x.astype(bf16), w.astype(bf16), preferred_element_type=f32)` runs
-the FORWARD on the MXU at full bf16 rate, but its autodiff backward
-receives a float32 cotangent (the primal output is f32), so both gradient
-matmuls (dx = g @ w^T, dw = x^T @ g) promote to float32 — a fraction of
-the MXU's bf16 throughput. ``head_dot`` fixes that with a custom VJP that
-rounds the cotangent to bfloat16 once and keeps both gradient matmuls on
-the bf16 path (float32 accumulation via preferred_element_type, exactly
-like the forward).
+``head_dot`` feeds the head matmul to the MXU in the model's compute
+dtype (bf16 on the perf path) with float32 accumulation, and lets XLA
+autodiff the backward.
 
-Numerics: the bf16 perf path already rounds activations and gate inputs
-to bf16 (models/blstm.py, ops/lstm_pallas.py); rounding the head
-cotangent is the same class of error (~1e-2 relative on gradients) and
-does not touch the float32 parity path (compute_dtype='float32' uses the
-plain dot).
+A custom-VJP variant that rounded the backward's float32 cotangent to
+bfloat16 (so both gradient matmuls dx = g·wᵀ and dw = xᵀ·g ran at the
+bf16 MXU rate) was built and A/B-measured at reference scale with
+tools/step_anatomy.py: the full step got SLOWER by 0.3–0.6 ms in two
+independent clean-window runs. At this head size ((38400, 1200) x
+(1200, 514)) the f32 gradient matmuls are already under 1 ms and partly
+fused with the PIT-loss backward; the extra rounding pass and the fusion
+barrier of a custom VJP cost more than the bf16 rate saves. The negative
+result is recorded in docs/performance.md; the plain dot is the
+measured winner.
 """
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 
-@jax.custom_vjp
-def _dot_bf16(x, w):
-    return jnp.dot(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
-                   preferred_element_type=jnp.float32)
-
-
-def _dot_bf16_fwd(x, w):
-    x16 = x.astype(jnp.bfloat16)
-    w16 = w.astype(jnp.bfloat16)
-    return (jnp.dot(x16, w16, preferred_element_type=jnp.float32),
-            (x16, w16))
-
-
-def _dot_bf16_bwd(res, g):
-    x16, w16 = res
-    g16 = g.astype(jnp.bfloat16)
-    dx = jnp.dot(g16, w16.T, preferred_element_type=jnp.float32)
-    # contract every leading (batch/time) axis: (..., K)^T @ (..., O)
-    n_batch = g16.ndim - 1
-    dims = (tuple(range(n_batch)), tuple(range(n_batch)))
-    dw = jax.lax.dot_general(x16, g16, ((dims), ((), ())),
-                             preferred_element_type=jnp.float32)
-    return dx, dw
-
-
-_dot_bf16.defvjp(_dot_bf16_fwd, _dot_bf16_bwd)
-
-
 def head_dot(y, w, dtype):
-    """y @ w with MXU dtype ``dtype``; f32 output. In bfloat16 mode the
-    gradient matmuls also run bf16 (see module docstring)."""
-    if dtype == jnp.bfloat16:
-        return _dot_bf16(y, w)
+    """y @ w with MXU input dtype ``dtype`` and float32 accumulation."""
     return jnp.dot(y.astype(dtype), w.astype(dtype),
                    preferred_element_type=jnp.float32)

@@ -9,7 +9,7 @@ TPU-native replacement is a ``jax.sharding.Mesh`` with two axes:
   replicated. Under jit, XLA derives the gradient all-reduce (psum over
   ICI) from these annotations — no hand-written collectives.
 - ``model``: tensor-parallel axis, unused (size 1) at this model scale
-  (~9M params) but plumbed so TP is a mesh-reshape away: the mask head's
+  (~13M params) but plumbed so TP is a mesh-reshape away: the mask head's
   Linear(1200 -> feat_dim*num_spk) and the LSTM gate matmuls accept a
   sharding rule along their output dimension via ``shard_params``.
 
@@ -106,7 +106,7 @@ def shard_params(params, mesh: Mesh, lstm_gates: bool = False):
     hundreds of per-step all-reduce/all-to-all ops inside the scan body
     (tools/measure_tp_overhead.py; docs/performance.md). Kept as an opt-in
     for models large enough that gate matmuls dominate; at the reference's
-    9M params use data parallelism.
+    13M params use data parallelism.
 
     With mesh model=1 both degenerate to replication.
     """

@@ -1,5 +1,8 @@
-"""ops/mxu.head_dot: bf16-gradient head matmul (the bf16 perf path's
-backward must stay on the MXU bf16 rate; VERDICT round-2 #7)."""
+"""ops/mxu.head_dot: the mask-head matmul in the model's MXU dtype.
+
+The bf16 path must produce the cast-dot primal exactly, and its
+(XLA-autodiff) gradients must stay within bf16 rounding of full-f32
+autodiff — the guarantee the perf path's numerics envelope rests on."""
 
 import numpy as np
 import jax
@@ -31,17 +34,17 @@ def test_bf16_primal_matches_cast_dot():
 
 
 def test_bf16_grads_close_to_f32_grads():
-    """The custom VJP (bf16-rounded cotangent, bf16 gradient matmuls)
-    must agree with full-f32 autodiff to bf16 rounding error."""
+    """bf16-input autodiff must agree with full-f32 autodiff to bf16
+    rounding error (the operands are rounded; the cotangent stays f32)."""
     x, w, g = _vals()
 
-    def loss_custom(x, w):
+    def loss_bf16(x, w):
         return jnp.vdot(head_dot(x, w, jnp.bfloat16), g)
 
     def loss_ref(x, w):
         return jnp.vdot(x @ w, g)
 
-    dx_c, dw_c = jax.grad(loss_custom, argnums=(0, 1))(x, w)
+    dx_c, dw_c = jax.grad(loss_bf16, argnums=(0, 1))(x, w)
     dx_r, dw_r = jax.grad(loss_ref, argnums=(0, 1))(x, w)
     for c, r in ((dx_c, dx_r), (dw_c, dw_r)):
         c, r = np.asarray(c), np.asarray(r)

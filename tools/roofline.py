@@ -94,8 +94,7 @@ def main():
     # (BT, F) pairs + bwd writes — ~8 passes of (BT, F*S) f32
     pit_bytes = 8 * BT * F * S * 4.0
     add("PIT loss fwd+bwd", 0.0, pit_bytes / HBM * 1e3)
-    # optimizer: 9.3M params x (p, g, m, v) read + (p, m, v) write, f32
-    n_params = L * 2 * ((F if L == 1 else 0) or 0)  # computed below
+    # optimizer: 13.4M params x (p, g, m, v) read + (p, m, v) write, f32
     n_params = 0
     for layer in range(L):
         fin = F if layer == 0 else 2 * H

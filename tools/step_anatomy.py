@@ -3,10 +3,10 @@
 
 Times, at B=100 / T=384 / 2x600 bf16+Pallas:
   - the full update step (forward + PIT loss + backward + clip + Adam),
-  - the same step with the mask head's plain-dot backward (f32 gradient
-    matmuls) instead of ops/mxu.head_dot — isolates head_dot's gain,
   - forward+loss only,
   - value_and_grad only (no optimizer).
+
+Compare against the analytic machine lower bound: tools/roofline.py.
 
 Prints one JSON line; feeds docs/performance.md's anatomy table.
 Usage: python tools/step_anatomy.py [--iters 20]
@@ -72,7 +72,7 @@ def main():
         print(f"# {tag}: {ms:.2f} ms (compile {compile_s:.0f}s)",
               file=sys.stderr, flush=True)
 
-    # 1. full step (head_dot bf16 grads — the current default)
+    # 1. full step
     step = make_update_step(upit, cfg, optimizer)
     p, s = jax.tree_util.tree_map(jnp.copy, (params0, state0))
     o = optimizer.init(p)
@@ -86,32 +86,7 @@ def main():
 
     timed("full_step", full, batch, key)
 
-    # 2. plain-dot head (f32 gradient matmuls) — isolate head_dot's gain
-    import speech_separation_tpu.models.upit as upit_mod
-    from speech_separation_tpu.ops import mxu
-
-    def plain_head(y, w, dtype):
-        return jnp.dot(y.astype(dtype), w.astype(dtype),
-                       preferred_element_type=jnp.float32)
-
-    upit_mod.head_dot = plain_head
-    try:
-        step_plain = make_update_step(upit, cfg, optimizer)
-        p, s = jax.tree_util.tree_map(jnp.copy, (params0, state0))
-        o = optimizer.init(p)
-        box2 = {"v": (p, s, o)}
-
-        def full_plain(batch, key):
-            p, s, o = box2["v"]
-            p, s, o, loss, norm = step_plain(p, s, o, batch, key)
-            box2["v"] = (p, s, o)
-            return loss
-
-        timed("full_step_plain_head", full_plain, batch, key)
-    finally:
-        upit_mod.head_dot = mxu.head_dot
-
-    # 3. forward + loss only
+    # 2. forward + loss only
     @jax.jit
     def fwd(params, state, batch, key):
         loss, aux = upit.loss_fn(cfg, params, state, batch, key, True)
@@ -119,7 +94,7 @@ def main():
 
     timed("forward_loss", lambda b, k: fwd(params0, state0, b, k), batch, key)
 
-    # 4. value_and_grad, no optimizer.  The returned scalar must DEPEND on
+    # 3. value_and_grad, no optimizer.  The returned scalar must DEPEND on
     # every gradient leaf or XLA dead-code-eliminates the whole backward
     # pass (first version of this probe measured "backward" == forward).
     @jax.jit
@@ -134,8 +109,6 @@ def main():
     timed("forward_backward", lambda b, k: vgrad(params0, state0, b, k),
           batch, key)
 
-    out["head_dot_gain_ms"] = round(out["full_step_plain_head"]["ms"]
-                                    - out["full_step"]["ms"], 2)
     print(json.dumps(out))
 
 
