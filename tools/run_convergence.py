@@ -233,6 +233,10 @@ def main():
     ap.add_argument("--arch", default="uPIT", choices=["uPIT", "RSH"])
     ap.add_argument("--quick", action="store_true",
                     help="tiny sizes for a smoke run")
+    ap.add_argument("--merge-existing", action="store_true",
+                    help="reuse pairs already recorded in the workdir JSON "
+                         "for seeds not listed in --seeds (the corpus is "
+                         "seed-fixed, so results compose across runs)")
     args = ap.parse_args()
     global ARCH
     ARCH = args.arch
@@ -253,6 +257,18 @@ def main():
 
     from parity_harness import run_parity
     from speech_separation_tpu.utils.import_torch import import_reference_model
+
+    json_name = ("convergence.json" if args.arch == "uPIT"
+                 else f"convergence_{args.arch}.json")
+    json_path = os.path.join(args.workdir, json_name)
+    prev_pairs, prev_wall = {}, 0.0
+    if args.merge_existing and os.path.isfile(json_path):
+        prev = json.load(open(json_path))
+        prev_pairs = {int(s): p for s, p in prev["pairs"].items()
+                      if int(s) not in seeds}
+        prev_wall = prev.get("wall_s", 0.0)
+        log(f"merging {len(prev_pairs)} recorded pairs "
+            f"(seeds {sorted(prev_pairs)}) from {json_name}")
 
     ckpt_dir = os.path.join(args.workdir, "models")
     os.makedirs(ckpt_dir, exist_ok=True)
@@ -287,6 +303,12 @@ def main():
                 f"SDR={means['SDR']:.3f} SI-SDR={means['SI-SDR']:.3f}")
         pairs[seed] = pair
 
+    if prev_pairs:
+        pairs.update(prev_pairs)
+        seeds = sorted(pairs)
+        if not n_steps:
+            n_steps = prev.get("steps", 0)
+
     def col(side, key):
         return [pairs[s][side][key] for s in seeds]
 
@@ -316,11 +338,9 @@ def main():
     res = {"n_train": n_train, "n_cv": n_cv, "n_test": n_test,
            "epochs": epochs, "steps": n_steps, "seeds": list(seeds),
            "pairs": {str(s): pairs[s] for s in seeds}, "summary": summary,
-           "wall_s": time.time() - t_start}
+           "wall_s": time.time() - t_start + prev_wall}
     res["pairs"] = pairs  # keyed by int seed for write_parity_section
-    json_name = ("convergence.json" if ARCH == "uPIT"
-                 else f"convergence_{ARCH}.json")
-    with open(os.path.join(args.workdir, json_name), "w") as f:
+    with open(json_path, "w") as f:
         json.dump({**res, "pairs": {str(s): pairs[s] for s in seeds}}, f,
                   indent=1)
     if not args.quick:
