@@ -113,24 +113,34 @@ class _TorchSide:
 
 def run_parity(arch_name, corpus, cv_corpus, *, F, S, H, L, batch_size,
                n_epochs, cv_every=5, seed=0, pad_multiple=1, with_torch=True,
-               log=lambda s: None):
+               model_extra=None, step_fns=None, log=lambda s: None):
     """Returns dict with per-step 'j_train'/'t_train' and per-CV-point
     'j_cv'/'t_cv' loss lists, plus the final models ('params'/'state' on the
     JAX side, 'torch_model' when with_torch). with_torch=False runs only the
-    JAX side (for seed-to-seed run-noise yardsticks)."""
+    JAX side (for seed-to-seed run-noise yardsticks). model_extra adds
+    arch-Config kwargs to the JAX side only (e.g. compute_dtype='bfloat16'
+    for the perf path; torch_ref has no such knob). step_fns, if given, is
+    the (optimizer, step, eval_step) triple from a previous run with the
+    same config — reusing it across seeds keeps the jit cache warm (one
+    compile per shape per *config*, which matters on backends where each
+    compile costs tens of seconds)."""
     arch = upit if arch_name == "uPIT" else rsh
     kwargs = dict(feat_dim=F, hidden=H, num_layers=L, zero_init_hidden=True)
     if arch_name == "uPIT":
         kwargs["num_spk"] = S
+    kwargs.update(model_extra or {})
     cfg = arch.Config(**kwargs)
     params, state = arch.init(jax.random.PRNGKey(seed), cfg)
 
     tside = _TorchSide(arch_name, params, F, S, H, L) if with_torch else None
 
-    optimizer = make_optimizer(TrainLoopConfig())
+    if step_fns is None:
+        optimizer = make_optimizer(TrainLoopConfig())
+        step = make_update_step(arch, cfg, optimizer)
+        eval_step = make_eval_step(arch, cfg)
+    else:
+        optimizer, step, eval_step = step_fns
     opt_state = optimizer.init(params)
-    step = make_update_step(arch, cfg, optimizer)
-    eval_step = make_eval_step(arch, cfg)
 
     key = jax.random.PRNGKey(seed + 1)
     j_train, t_train, j_cv, t_cv = [], [], [], []
@@ -164,6 +174,7 @@ def run_parity(arch_name, corpus, cv_corpus, *, F, S, H, L, batch_size,
     return {"j_train": j_train, "t_train": t_train,
             "j_cv": j_cv, "t_cv": t_cv,
             "params": params, "state": state, "cfg": cfg,
+            "step_fns": (optimizer, step, eval_step),
             "torch_model": tside.model if tside else None}
 
 
