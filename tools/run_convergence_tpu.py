@@ -53,6 +53,7 @@ sys.path.insert(0, HERE)
 import run_convergence as rc  # corpus builder + scorer (seed-fixed corpus)
 
 MARK = "## §5c TPU-hardware convergence"
+MARK_RSH = "## §5d RSH TPU-hardware convergence"
 
 
 def log(msg):
@@ -89,25 +90,28 @@ def _spread(vals):
 def write_parity_section(res, arch):
     """Insert/replace the §5c block in PARITY.md (kept after §5b; the
     run_convergence.py writer's split-to-next-'## ' logic composes with it)."""
+    mark = MARK if arch == "uPIT" else MARK_RSH
     path = os.path.join(ROOT, "PARITY.md")
     text = open(path).read()
-    if MARK in text:
-        i = text.index(MARK)
-        j = text.find("\n## ", i + len(MARK))
+    if mark in text:
+        i = text.index(mark)
+        j = text.find("\n## ", i + len(mark))
         text = text[:i].rstrip() + "\n" + (text[j + 1:] if j != -1 else "")
     configs = res["configs"]
     seeds = res["seeds"]
     cpu = res["cpu_reference"]
     lines = [
-        MARK, "",
-        "The §5/§5b populations ran on JAX-CPU; this block trains the same "
+        mark, "",
+        f"The §{'5' if arch == 'uPIT' else '5b'} population ran on JAX-CPU; "
+        "this block trains the same "
         f"seeds on the **real TPU chip** (tools/run_convergence_tpu.py, arch "
         f"{arch}, same corpus/protocol: {res['epochs']} epochs, "
         f"{res['steps']} steps) in both shipped numeric configs — `f32` "
         "(bit-faithful) and `bf16` (perf path: compute_dtype=bfloat16 + "
         "Pallas LSTM, the BENCH headline configuration) — and scores the "
         "converged models through the identical CPU inference + host-f64 "
-        "BSS-eval used for §5, so score gaps reflect trained weights only. "
+        "BSS-eval used for the CPU population, so score gaps reflect "
+        "trained weights only. "
         "Yardstick: the across-seed spread of the CPU populations (jax "
         f"{cpu['sdr_spread_jax']:.3f} dB, torch "
         f"{cpu['sdr_spread_torch']:.3f} dB SDR).", "",
@@ -116,7 +120,7 @@ def write_parity_section(res, arch):
         "|---|---|---|---|---|---|",
     ]
     for s in seeds:
-        lines.append(f"| {s} | cpu f32 (§5) | "
+        lines.append(f"| {s} | cpu f32 (§{'5' if arch == 'uPIT' else '5b'}) | "
                      f"{cpu['pairs'][str(s)]['final_cv']:.6f} | "
                      f"{cpu['pairs'][str(s)]['SDR']:.3f} | "
                      f"{cpu['pairs'][str(s)]['SI-SDR']:.3f} | — |")
@@ -142,7 +146,7 @@ def write_parity_section(res, arch):
     ]
     with open(path, "w") as f:
         f.write(text + "\n" + "\n".join(lines) + "\n")
-    log(f"wrote {MARK!r} to {path}")
+    log(f"wrote {mark!r} to {path}")
 
 
 def phase_build(args):
@@ -180,8 +184,10 @@ def main():
                          "population exists at that scale)")
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--phase", default="run",
-                    choices=["run", "build", "score"],
-                    help="internal: build/score run as JAX-CPU subprocesses")
+                    choices=["run", "build", "score", "section"],
+                    help="internal: build/score run as JAX-CPU subprocesses; "
+                         "section re-emits the PARITY.md block from a "
+                         "recorded results JSON")
     args = ap.parse_args()
     rc.ARCH = args.arch
     if args.hidden:
@@ -192,6 +198,11 @@ def main():
         return phase_build(args)
     if args.phase == "score":
         return phase_score(args)
+    if args.phase == "section":
+        name = ("convergence_tpu.json" if args.arch == "uPIT"
+                else f"convergence_tpu_{args.arch}.json")
+        res = json.load(open(os.path.join(args.workdir, name)))
+        return write_parity_section(res, args.arch)
 
     import jax
     platform = jax.devices()[0].platform
@@ -320,7 +331,7 @@ def main():
     with open(out_path, "w") as f:
         json.dump(res, f, indent=1)
     log(f"wrote {out_path}")
-    if not args.quick and cpu_ref is not None and args.arch == "uPIT":
+    if not args.quick and cpu_ref is not None:
         write_parity_section(res, args.arch)
     log(f"done in {res['wall_s']:.0f}s (train {train_wall:.0f}s)")
 
