@@ -142,8 +142,32 @@ def write_parity_section(res, arch):
         f"{len(seeds) * 2} runs of {res['steps']} steps (tiny 2x64 model — "
         "dominated by per-shape compiles and per-step host dispatch, not "
         "device compute; the reference-scale step time is the BENCH number).",
-        "",
     ]
+    # fold in the full-scale (--hidden 600) f32-vs-bf16 run when recorded:
+    # at reference model size no CPU population exists, so the comparison
+    # is bf16-vs-f32 on TPU directly
+    h600 = os.path.join(ROOT, "scale_test", "convergence",
+                        "convergence_tpu_h600.json"
+                        if arch == "uPIT" else
+                        f"convergence_tpu_{arch}_h600.json")
+    if os.path.isfile(h600):
+        h = json.load(open(h600))
+        hseeds = h["seeds"]
+        bs = h["configs"]["bf16"]["summary"]
+        f32p, b16p = (h["configs"]["f32"]["pairs"],
+                      h["configs"]["bf16"]["pairs"])
+        per_seed = "; ".join(
+            f"seed {s}: f32 {f32p[str(s)]['SDR']:.3f} / bf16 "
+            f"{b16p[str(s)]['SDR']:.3f} dB" for s in hseeds)
+        lines.append(
+            f"- **full model scale (2x600, reference archs/uPIT.py:115)**: "
+            f"the same protocol at hidden=600 ({h['steps']} steps, seeds "
+            f"{hseeds}) compares the perf path against f32 on TPU directly "
+            f"— {per_seed}; per-seed |bf16 − f32| SDR gaps "
+            f"{bs['sdr_gaps_vs_f32']} dB (max {bs['sdr_gap_vs_f32_max']:.3f}"
+            f"), CV-loss gaps {bs['cv_gaps_vs_f32']} "
+            f"(convergence_tpu_h600.json).")
+    lines.append("")
     with open(path, "w") as f:
         f.write(text + "\n" + "\n".join(lines) + "\n")
     log(f"wrote {mark!r} to {path}")
