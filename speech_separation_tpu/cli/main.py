@@ -12,8 +12,9 @@ conventions survive:
 - ``--nj`` sharded feature extraction / oracle eval (as host worker
   processes instead of SGE array jobs — extract_feats.sh:41-53).
 
-Subcommands: prepare, validate, split, extract, train, eval-masks,
-reconstruct, score, oracle, run-train, run-eval, bench.
+Subcommands: prepare, validate, split, extract, pack-features, train,
+eval-masks, reconstruct, stage-data, separate, serve, score, oracle, info,
+bench, import-model, run-train, run-eval.
 """
 
 from __future__ import annotations
@@ -154,6 +155,22 @@ def cmd_reconstruct(args):
 
 def cmd_separate(args):
     """Fused waveform->waveforms separation (the serving path)."""
+    if args.server:
+        # hand the work to a resident `sepsep serve` daemon: no model load,
+        # no compile — milliseconds instead of seconds per invocation
+        from ..eval.serve import request
+        payload = {"wavs": [os.path.abspath(w) for w in args.wavs],
+                   "out_dir": os.path.abspath(args.out_dir)}
+        if args.num_spk:
+            payload["num_spk"] = args.num_spk
+        if args.long_form:
+            payload.update(long_form=True, window_sec=args.window_sec,
+                           overlap_sec=args.overlap_sec)
+        reply = request(args.server, payload)
+        print(json.dumps(reply))
+        if not reply.get("ok"):
+            raise SystemExit(1)
+        return
     from ..dsp import STFTConfig
     from ..eval.pipeline import SeparationPipeline
     from ..utils.audio import load_wav, write_wav_int16
@@ -186,6 +203,29 @@ def cmd_separate(args):
         for i, ests in pipe.separate_stream(loader, lengths):
             write(args.wavs[i], ests)
     print(f"separated {len(args.wavs)} files -> {args.out_dir}")
+
+
+def cmd_serve(args):
+    """Resident separation server: warm model + compiled programs behind a
+    Unix socket (newline-JSON protocol, eval/serve.py). Clients:
+    ``sepsep separate --server <socket> ...`` or any JSON-capable peer."""
+    from ..dsp import STFTConfig
+    from ..eval.pipeline import SeparationPipeline
+    from ..eval.serve import SeparationServer
+
+    cfg = STFTConfig(n_fft=args.fft_dim, hop=args.step_size,
+                     sample_rate=args.sample_rate)
+    pipe = SeparationPipeline(args.model,
+                              model_kwargs=read_model_config(args.model_config),
+                              stft_cfg=cfg, batch_size=args.batch_size,
+                              num_spk=args.num_spk or None)
+    server = SeparationServer(pipe, args.socket_path,
+                              coalesce=args.coalesce)
+    if args.warmup_sec:
+        n = server.warmup([float(s) for s in args.warmup_sec.split(",")])
+        print(f"warmup: {n} shape buckets compiled", flush=True)
+    print(f"serving {args.model} on {args.socket_path}", flush=True)
+    server.serve_forever()
 
 
 def cmd_score(args):
@@ -624,7 +664,28 @@ def build_parser():
                         "minutes-long recordings; one compiled shape)")
     p.add_argument("--window-sec", type=float, default=8.0)
     p.add_argument("--overlap-sec", type=float, default=1.0)
+    p.add_argument("--server", default="",
+                   help="socket of a running `sepsep serve` daemon: send "
+                        "the request there instead of loading the model")
     p.set_defaults(fn=cmd_separate)
+
+    p = sub.add_parser("serve", help="resident separation server (warm "
+                                     "model + compiled programs on a Unix "
+                                     "socket; JSON-line protocol)")
+    p.add_argument("model")
+    p.add_argument("socket_path")
+    p.add_argument("--model-config", default="")
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--num-spk", type=int, default=0)
+    p.add_argument("--fft-dim", type=int, default=512)
+    p.add_argument("--step-size", type=int, default=128)
+    p.add_argument("--sample-rate", type=int, default=8000)
+    p.add_argument("--coalesce", type=int, default=32,
+                   help="max queued requests merged into one device batch")
+    p.add_argument("--warmup-sec", default="",
+                   help="comma-separated audio lengths (seconds) to "
+                        "pre-compile at startup, e.g. '4,8'")
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("score", help="BSS-eval + SI-SDR scoring")
     p.add_argument("data_dir")

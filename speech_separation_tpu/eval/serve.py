@@ -1,0 +1,293 @@
+"""Persistent separation server: warm model + compiled programs behind a
+Unix-domain socket.
+
+The reference has no serving story — every evaluation is a cold batch job
+(`run_eval.sh` -> qsub, /root/reference/run_eval.sh:50-65) that pays model
+load and library startup per invocation. On TPU the dominant serving costs
+are one-time (checkpoint load, XLA compile: seconds per shape bucket, then
+milliseconds per batch), so the production shape is a resident process:
+`sepsep serve` holds a :class:`~..eval.pipeline.SeparationPipeline` warm
+and answers requests over a local socket. First-request latency can also
+be pre-paid with ``--warmup-sec``, which compiles the steady-state shape
+buckets at startup.
+
+Protocol: newline-delimited JSON over a ``SOCK_STREAM`` Unix socket.
+
+Requests::
+
+    {"wavs": ["/abs/in.wav", ...], "out_dir": "/abs/dir"}
+        optional: "num_spk": int, "long_form": true,
+                  "window_sec"/"overlap_sec": float (long-form only)
+    {"cmd": "ping"}
+    {"cmd": "shutdown"}
+
+Responses (one JSON line per request, in request order per connection)::
+
+    {"ok": true, "outputs": {"<wav path>": ["/abs/dir/<stem>_s1.wav", ...]},
+     "ms": 12.3}                       # wall of the device batch it rode in
+    {"ok": true, "uptime_s": ..., "served": N, "compiled_buckets": K}
+    {"ok": false, "error": "..."}
+
+Dynamic micro-batching: requests from concurrent connections are coalesced
+into one device batch — the TPU sees full batches even when every client
+sends a single file. Separation itself streams through
+``SeparationPipeline.separate_stream`` (bounded host memory, loader threads
+overlapping device compute), so a burst of large requests cannot blow the
+host RSS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import socket
+import threading
+import time
+
+import numpy as np
+
+
+class _Pending:
+    """One in-flight request: payload in, reply out via an event."""
+
+    def __init__(self, payload: dict):
+        self.payload = payload
+        self.event = threading.Event()
+        self.reply: dict = {}
+
+    def finish(self, reply: dict) -> None:
+        self.reply = reply
+        self.event.set()
+
+
+class SeparationServer:
+    """Serve a warm :class:`SeparationPipeline` over a Unix socket.
+
+    ``coalesce`` bounds how many queued requests one device dispatch may
+    merge; the pipeline's own ``batch_size`` still controls the per-program
+    batch shape (a merged group larger than it simply streams as several
+    batches).
+    """
+
+    def __init__(self, pipeline, socket_path: str, coalesce: int = 32):
+        self.pipe = pipeline
+        self.socket_path = socket_path
+        self.coalesce = coalesce
+        self._queue: "queue.Queue[_Pending]" = queue.Queue()
+        self._stop = threading.Event()
+        self._started = time.monotonic()
+        self._served = 0
+        self._listener: socket.socket | None = None
+        self._threads: list[threading.Thread] = []
+
+    # ---------------------------------------------------------------- setup
+
+    def warmup(self, seconds: list[float]) -> int:
+        """Pre-compile the steady-state shape buckets for the given audio
+        lengths (a full ``batch_size`` batch each, the shape real traffic
+        lands on). Returns the number of buckets compiled."""
+        sr = self.pipe.stft_cfg.sample_rate
+        before = len(self.pipe._fns)
+        for sec in seconds:
+            n = max(int(sec * sr), self.pipe.stft_cfg.n_fft)
+            sigs = [np.zeros(n, np.float32)] * self.pipe.batch_size
+            self.pipe.separate(sigs)
+        return len(self.pipe._fns) - before
+
+    # ------------------------------------------------------------- lifecycle
+
+    def serve_forever(self) -> None:
+        """Bind, accept, and block until a ``shutdown`` request arrives."""
+        if os.path.exists(self.socket_path):
+            os.unlink(self.socket_path)
+        self._listener = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        self._listener.bind(self.socket_path)
+        self._listener.listen(64)
+        # a blocked accept() is not reliably interrupted by close() from
+        # another thread; poll with a short timeout so shutdown() takes effect
+        self._listener.settimeout(0.25)
+        worker = threading.Thread(target=self._worker, daemon=True)
+        worker.start()
+        self._threads.append(worker)
+        try:
+            while not self._stop.is_set():
+                try:
+                    conn, _ = self._listener.accept()
+                except socket.timeout:
+                    continue
+                except OSError:
+                    break  # listener closed by shutdown
+                t = threading.Thread(target=self._handle_conn, args=(conn,),
+                                     daemon=True)
+                t.start()
+                self._threads.append(t)
+        finally:
+            self._cleanup()
+
+    def shutdown(self) -> None:
+        self._stop.set()
+        if self._listener is not None:
+            try:
+                self._listener.close()
+            except OSError:
+                pass
+
+    def _cleanup(self) -> None:
+        self._stop.set()
+        try:
+            os.unlink(self.socket_path)
+        except OSError:
+            pass
+
+    # ------------------------------------------------------------ connection
+
+    def _handle_conn(self, conn: socket.socket) -> None:
+        with conn, conn.makefile("rwb") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    payload = json.loads(line)
+                    reply = self._dispatch(payload)
+                except Exception as e:  # malformed request must not kill us
+                    reply = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+                try:
+                    f.write(json.dumps(reply).encode() + b"\n")
+                    f.flush()
+                except OSError:
+                    return  # client went away
+                if self._stop.is_set():
+                    return
+
+    def _dispatch(self, payload: dict) -> dict:
+        cmd = payload.get("cmd")
+        if cmd == "ping":
+            return {"ok": True,
+                    "uptime_s": round(time.monotonic() - self._started, 3),
+                    "served": self._served,
+                    "compiled_buckets": len(self.pipe._fns)}
+        if cmd == "shutdown":
+            self.shutdown()
+            return {"ok": True}
+        if cmd is not None:
+            return {"ok": False, "error": f"unknown cmd {cmd!r}"}
+
+        wavs = payload.get("wavs")
+        out_dir = payload.get("out_dir")
+        if not isinstance(wavs, list) or not wavs or not out_dir:
+            return {"ok": False,
+                    "error": "request needs non-empty 'wavs' and 'out_dir'"}
+        # fail fast (and per-request) on unreadable inputs: a bad file must
+        # not poison the device batch it would have been coalesced into
+        from ..utils.audio import wav_num_samples
+        try:
+            lengths = [wav_num_samples(p) for p in wavs]
+        except Exception as e:
+            return {"ok": False, "error": f"{type(e).__name__}: {e}"}
+        os.makedirs(out_dir, exist_ok=True)
+        pending = _Pending({**payload, "lengths": lengths})
+        self._queue.put(pending)
+        pending.event.wait()
+        return pending.reply
+
+    # ---------------------------------------------------------------- worker
+
+    def _worker(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            group = [first]
+            while len(group) < self.coalesce:
+                try:
+                    group.append(self._queue.get_nowait())
+                except queue.Empty:
+                    break
+            # requests with different speaker counts / modes compile and run
+            # as different programs; process each bucket as one device batch
+            buckets: dict[tuple, list[_Pending]] = {}
+            for p in group:
+                key = (p.payload.get("num_spk"),
+                       bool(p.payload.get("long_form")))
+                buckets.setdefault(key, []).append(p)
+            for (num_spk, long_form), ps in buckets.items():
+                try:
+                    if long_form:
+                        self._run_long_form(ps, num_spk)
+                    else:
+                        self._run_batched(ps, num_spk)
+                except Exception as e:
+                    for p in ps:
+                        if not p.event.is_set():
+                            p.finish({"ok": False,
+                                      "error": f"{type(e).__name__}: {e}"})
+
+    def _out_paths(self, wav: str, out_dir: str, num_spk: int) -> list[str]:
+        stem = os.path.splitext(os.path.basename(wav))[0]
+        return [os.path.join(out_dir, f"{stem}_s{s + 1}.wav")
+                for s in range(num_spk)]
+
+    def _run_batched(self, ps: list[_Pending], num_spk: int | None) -> None:
+        """Coalesce every wav of every request into one streaming pass."""
+        from ..utils.audio import load_wav, write_wav_int16
+        sr = self.pipe.stft_cfg.sample_rate
+        flat: list[tuple[_Pending, str]] = [
+            (p, w) for p in ps for w in p.payload["wavs"]]
+        lengths = [l for p in ps for l in p.payload["lengths"]]
+        loader = lambda i: load_wav(flat[i][1], sr=sr)[0]
+        S = num_spk or self.pipe.num_spk
+        remaining = {id(p): len(p.payload["wavs"]) for p in ps}
+        outputs: dict[int, dict] = {id(p): {} for p in ps}
+        t0 = time.monotonic()
+        for i, tracks in self.pipe.separate_stream(loader, lengths, num_spk):
+            p, wav = flat[i]
+            paths = self._out_paths(wav, p.payload["out_dir"], S)
+            for path, est in zip(paths, tracks):
+                write_wav_int16(path, sr, est)
+            outputs[id(p)][wav] = paths
+            remaining[id(p)] -= 1
+            if remaining[id(p)] == 0:
+                self._served += 1
+                p.finish({"ok": True, "outputs": outputs[id(p)],
+                          "ms": round((time.monotonic() - t0) * 1e3, 2)})
+
+    def _run_long_form(self, ps: list[_Pending], num_spk: int | None) -> None:
+        from ..utils.audio import load_wav, write_wav_int16
+        sr = self.pipe.stft_cfg.sample_rate
+        S = num_spk or self.pipe.num_spk
+        for p in ps:
+            t0 = time.monotonic()
+            outs = {}
+            kw = {}
+            if "window_sec" in p.payload:
+                kw["window_sec"] = float(p.payload["window_sec"])
+            if "overlap_sec" in p.payload:
+                kw["overlap_sec"] = float(p.payload["overlap_sec"])
+            for wav in p.payload["wavs"]:
+                x, _ = load_wav(wav, sr=sr)
+                tracks = self.pipe.separate_long(x, num_spk, **kw)
+                paths = self._out_paths(wav, p.payload["out_dir"], S)
+                for path, est in zip(paths, tracks):
+                    write_wav_int16(path, sr, est)
+                outs[wav] = paths
+            self._served += 1
+            p.finish({"ok": True, "outputs": outs,
+                      "ms": round((time.monotonic() - t0) * 1e3, 2)})
+
+
+def request(socket_path: str, payload: dict, timeout: float = 600.0) -> dict:
+    """Send one request to a running server and return its reply dict."""
+    with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
+        s.settimeout(timeout)
+        s.connect(socket_path)
+        s.sendall(json.dumps(payload).encode() + b"\n")
+        buf = b""
+        while not buf.endswith(b"\n"):
+            chunk = s.recv(1 << 16)
+            if not chunk:
+                break
+            buf += chunk
+    return json.loads(buf.decode())
