@@ -158,6 +158,7 @@ def cmd_separate(args):
     if args.server:
         # hand the work to a resident `sepsep serve` daemon: no model load,
         # no compile — milliseconds instead of seconds per invocation
+        import time
         from ..eval.serve import request
         payload = {"wavs": [os.path.abspath(w) for w in args.wavs],
                    "out_dir": os.path.abspath(args.out_dir)}
@@ -166,7 +167,24 @@ def cmd_separate(args):
         if args.long_form:
             payload.update(long_form=True, window_sec=args.window_sec,
                            overlap_sec=args.overlap_sec)
-        reply = request(args.server, payload)
+        # the daemon takes seconds to load+bind after `sepsep serve ... &`;
+        # wait for the socket (bounded) instead of crashing on the race
+        deadline = time.monotonic() + args.server_wait
+        waited = False
+        while True:
+            try:
+                reply = request(args.server, payload)
+                break
+            except (FileNotFoundError, ConnectionRefusedError) as e:
+                if time.monotonic() >= deadline:
+                    raise SystemExit(
+                        f"no server at {args.server} after "
+                        f"{args.server_wait:.0f}s ({e})")
+                if not waited:
+                    print(f"waiting for server at {args.server} ...",
+                          flush=True)
+                    waited = True
+                time.sleep(0.5)
         print(json.dumps(reply))
         if not reply.get("ok"):
             raise SystemExit(1)
@@ -183,10 +201,11 @@ def cmd_separate(args):
                               num_spk=args.num_spk or None)
     os.makedirs(args.out_dir, exist_ok=True)
 
+    from ..utils.audio import separated_track_paths
+
     def write(path, ests):
-        stem = os.path.splitext(os.path.basename(path))[0]
-        for s, est in enumerate(ests):
-            out_path = os.path.join(args.out_dir, f"{stem}_s{s + 1}.wav")
+        for out_path, est in zip(
+                separated_track_paths(args.out_dir, path, len(ests)), ests):
             write_wav_int16(out_path, cfg.sample_rate, est)
 
     if args.long_form:
@@ -667,6 +686,8 @@ def build_parser():
     p.add_argument("--server", default="",
                    help="socket of a running `sepsep serve` daemon: send "
                         "the request there instead of loading the model")
+    p.add_argument("--server-wait", type=float, default=60.0,
+                   help="seconds to wait for the server socket to appear")
     p.set_defaults(fn=cmd_separate)
 
     p = sub.add_parser("serve", help="resident separation server (warm "

@@ -114,7 +114,7 @@ class SeparationPipeline:
         return fused
 
     def separate_stream(self, loader, lengths, num_spk: int | None = None,
-                        prefetch: int = 2):
+                        prefetch: int = 2, pad_batches: bool = False):
         """Streaming separation core: yields ``(index, [tracks])`` per input
         with BOUNDED host memory — at most ``prefetch`` length-sorted
         batches of audio are resident at once, loaded by background threads
@@ -124,7 +124,15 @@ class SeparationPipeline:
         approximate) sample count, used only to order/bucket — the padded
         buffer is sized from the actually loaded audio. This is the memory
         shape that survives 100k-utterance test sets; ``separate`` wraps it
-        for in-memory lists."""
+        for in-memory lists.
+
+        ``pad_batches=True`` zero-pads every group's batch dimension to the
+        full ``batch_size``, so ONE executable per (time-bucket, num_spk)
+        serves any request size — the serving mode, where a 1-file request
+        must reuse the warmed-up full-batch program instead of compiling a
+        fresh B=1 shape. Pad rows are dead compute (milliseconds) and never
+        yielded; outputs are row-independent (inference BN uses running
+        stats), so results are unchanged."""
         from concurrent.futures import ThreadPoolExecutor
 
         scfg = self.stft_cfg
@@ -138,8 +146,9 @@ class SeparationPipeline:
             max_len = _round_up(max(len(s) for s in group), self.length_quantum)
             n_t = num_frames(max_len, scfg.hop)
             Lp = max_len + scfg.n_fft
-            xp = np.zeros((len(group), Lp), np.float32)
-            counts = np.zeros((len(group),), np.int32)
+            B = self.batch_size if pad_batches else len(group)
+            xp = np.zeros((B, Lp), np.float32)
+            counts = np.ones((B,), np.int32)  # pad rows: 1 frame of silence
             for r, s in enumerate(group):
                 padded = reflect_pad_center(s, scfg.n_fft)
                 xp[r, : len(padded)] = padded

@@ -7,9 +7,10 @@ load and library startup per invocation. On TPU the dominant serving costs
 are one-time (checkpoint load, XLA compile: seconds per shape bucket, then
 milliseconds per batch), so the production shape is a resident process:
 `sepsep serve` holds a :class:`~..eval.pipeline.SeparationPipeline` warm
-and answers requests over a local socket. First-request latency can also
-be pre-paid with ``--warmup-sec``, which compiles the steady-state shape
-buckets at startup.
+and answers requests over a local socket. The server always runs the
+pipeline with ``pad_batches=True`` — ONE executable per (time-bucket,
+num_spk) regardless of request size — so ``--warmup-sec`` genuinely
+pre-pays the compile a first request of ANY file count would hit.
 
 Protocol: newline-delimited JSON over a ``SOCK_STREAM`` Unix socket.
 
@@ -33,7 +34,14 @@ into one device batch — the TPU sees full batches even when every client
 sends a single file. Separation itself streams through
 ``SeparationPipeline.separate_stream`` (bounded host memory, loader threads
 overlapping device compute), so a burst of large requests cannot blow the
-host RSS.
+host RSS. A file that fails to load fails only its own request, never the
+other requests coalesced into the same batch.
+
+Output naming is ``<out_dir>/<input stem>_s<k>.wav`` (shared with
+``sepsep separate``); inputs whose stems collide within one request are
+rejected up front. Distinct requests writing the same stems into one
+``out_dir`` overwrite each other — give concurrent clients distinct
+``out_dir``s.
 """
 
 from __future__ import annotations
@@ -61,6 +69,38 @@ class _Pending:
         self.event.set()
 
 
+def _validate(payload: dict) -> str | None:
+    """Schema-check a separation request. Returns an error string or None.
+
+    Everything here crosses a trust boundary (arbitrary JSON from the
+    socket), so types are checked before any value reaches open()/jit —
+    e.g. an int in 'wavs' would otherwise be treated by open() as a raw
+    file descriptor."""
+    wavs = payload.get("wavs")
+    if (not isinstance(wavs, list) or not wavs
+            or not all(isinstance(w, str) for w in wavs)):
+        return "'wavs' must be a non-empty list of path strings"
+    out_dir = payload.get("out_dir")
+    if not isinstance(out_dir, str) or not out_dir:
+        return "'out_dir' must be a non-empty path string"
+    num_spk = payload.get("num_spk")
+    if num_spk is not None and (not isinstance(num_spk, int)
+                                or isinstance(num_spk, bool) or num_spk < 1):
+        return "'num_spk' must be a positive integer"
+    if not isinstance(payload.get("long_form", False), bool):
+        return "'long_form' must be a boolean"
+    for k in ("window_sec", "overlap_sec"):
+        v = payload.get(k)
+        if v is not None and (not isinstance(v, (int, float))
+                              or isinstance(v, bool) or v <= 0):
+            return f"'{k}' must be a positive number"
+    stems = [os.path.splitext(os.path.basename(w))[0] for w in wavs]
+    if len(set(stems)) != len(stems):
+        return ("input basenames collide within the request; outputs are "
+                "named <out_dir>/<stem>_s<k>.wav")
+    return None
+
+
 class SeparationServer:
     """Serve a warm :class:`SeparationPipeline` over a Unix socket.
 
@@ -79,20 +119,23 @@ class SeparationServer:
         self._started = time.monotonic()
         self._served = 0
         self._listener: socket.socket | None = None
-        self._threads: list[threading.Thread] = []
+        self._worker_thread: threading.Thread | None = None
 
     # ---------------------------------------------------------------- setup
 
     def warmup(self, seconds: list[float]) -> int:
-        """Pre-compile the steady-state shape buckets for the given audio
-        lengths (a full ``batch_size`` batch each, the shape real traffic
-        lands on). Returns the number of buckets compiled."""
+        """Pre-compile the shape buckets for the given audio lengths. The
+        server pads every batch to the full ``batch_size`` (one executable
+        per time bucket), so one full-batch compile here covers a later
+        request of any file count. Returns the number of buckets compiled."""
         sr = self.pipe.stft_cfg.sample_rate
         before = len(self.pipe._fns)
         for sec in seconds:
             n = max(int(sec * sr), self.pipe.stft_cfg.n_fft)
             sigs = [np.zeros(n, np.float32)] * self.pipe.batch_size
-            self.pipe.separate(sigs)
+            for _ in self.pipe.separate_stream(
+                    sigs.__getitem__, [n] * len(sigs), pad_batches=True):
+                pass
         return len(self.pipe._fns) - before
 
     # ------------------------------------------------------------- lifecycle
@@ -107,9 +150,9 @@ class SeparationServer:
         # a blocked accept() is not reliably interrupted by close() from
         # another thread; poll with a short timeout so shutdown() takes effect
         self._listener.settimeout(0.25)
-        worker = threading.Thread(target=self._worker, daemon=True)
-        worker.start()
-        self._threads.append(worker)
+        self._worker_thread = threading.Thread(target=self._worker,
+                                               daemon=True)
+        self._worker_thread.start()
         try:
             while not self._stop.is_set():
                 try:
@@ -118,10 +161,8 @@ class SeparationServer:
                     continue
                 except OSError:
                     break  # listener closed by shutdown
-                t = threading.Thread(target=self._handle_conn, args=(conn,),
-                                     daemon=True)
-                t.start()
-                self._threads.append(t)
+                threading.Thread(target=self._handle_conn, args=(conn,),
+                                 daemon=True).start()
         finally:
             self._cleanup()
 
@@ -133,8 +174,21 @@ class SeparationServer:
             except OSError:
                 pass
 
+    def _drain_queue(self) -> None:
+        """Fail any still-queued requests so their clients get a reply
+        instead of hanging until socket timeout."""
+        while True:
+            try:
+                p = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            p.finish({"ok": False, "error": "server shutting down"})
+
     def _cleanup(self) -> None:
         self._stop.set()
+        if self._worker_thread is not None:
+            self._worker_thread.join(timeout=5)
+        self._drain_queue()
         try:
             os.unlink(self.socket_path)
         except OSError:
@@ -174,19 +228,18 @@ class SeparationServer:
         if cmd is not None:
             return {"ok": False, "error": f"unknown cmd {cmd!r}"}
 
-        wavs = payload.get("wavs")
-        out_dir = payload.get("out_dir")
-        if not isinstance(wavs, list) or not wavs or not out_dir:
-            return {"ok": False,
-                    "error": "request needs non-empty 'wavs' and 'out_dir'"}
-        # fail fast (and per-request) on unreadable inputs: a bad file must
-        # not poison the device batch it would have been coalesced into
+        err = _validate(payload)
+        if err:
+            return {"ok": False, "error": err}
+        # fail fast (and per-request) on unreadable inputs
         from ..utils.audio import wav_num_samples
         try:
-            lengths = [wav_num_samples(p) for p in wavs]
+            lengths = [wav_num_samples(p) for p in payload["wavs"]]
         except Exception as e:
             return {"ok": False, "error": f"{type(e).__name__}: {e}"}
-        os.makedirs(out_dir, exist_ok=True)
+        os.makedirs(payload["out_dir"], exist_ok=True)
+        if self._stop.is_set():
+            return {"ok": False, "error": "server shutting down"}
         pending = _Pending({**payload, "lengths": lengths})
         self._queue.put(pending)
         pending.event.wait()
@@ -206,56 +259,84 @@ class SeparationServer:
                     group.append(self._queue.get_nowait())
                 except queue.Empty:
                     break
-            # requests with different speaker counts / modes compile and run
-            # as different programs; process each bucket as one device batch
-            buckets: dict[tuple, list[_Pending]] = {}
-            for p in group:
-                key = (p.payload.get("num_spk"),
-                       bool(p.payload.get("long_form")))
-                buckets.setdefault(key, []).append(p)
-            for (num_spk, long_form), ps in buckets.items():
-                try:
-                    if long_form:
-                        self._run_long_form(ps, num_spk)
-                    else:
-                        self._run_batched(ps, num_spk)
-                except Exception as e:
-                    for p in ps:
-                        if not p.event.is_set():
-                            p.finish({"ok": False,
-                                      "error": f"{type(e).__name__}: {e}"})
+            try:
+                # requests with different speaker counts / modes compile and
+                # run as different programs; each bucket is one device batch
+                buckets: dict[tuple, list[_Pending]] = {}
+                for p in group:
+                    key = (p.payload.get("num_spk"),
+                           bool(p.payload.get("long_form")))
+                    buckets.setdefault(key, []).append(p)
+                for (num_spk, long_form), ps in buckets.items():
+                    try:
+                        if long_form:
+                            self._run_long_form(ps, num_spk)
+                        else:
+                            self._run_batched(ps, num_spk)
+                    except Exception as e:
+                        self._fail(ps, e)
+            except Exception as e:
+                # nothing may kill the worker thread: a dead worker would
+                # hang every future request on event.wait()
+                self._fail(group, e)
+        self._drain_queue()
 
-    def _out_paths(self, wav: str, out_dir: str, num_spk: int) -> list[str]:
-        stem = os.path.splitext(os.path.basename(wav))[0]
-        return [os.path.join(out_dir, f"{stem}_s{s + 1}.wav")
-                for s in range(num_spk)]
+    @staticmethod
+    def _fail(ps: list[_Pending], e: Exception) -> None:
+        for p in ps:
+            if not p.event.is_set():
+                p.finish({"ok": False, "error": f"{type(e).__name__}: {e}"})
 
     def _run_batched(self, ps: list[_Pending], num_spk: int | None) -> None:
         """Coalesce every wav of every request into one streaming pass."""
-        from ..utils.audio import load_wav, write_wav_int16
+        from ..utils.audio import (load_wav, separated_track_paths,
+                                   write_wav_int16)
         sr = self.pipe.stft_cfg.sample_rate
         flat: list[tuple[_Pending, str]] = [
             (p, w) for p in ps for w in p.payload["wavs"]]
         lengths = [l for p in ps for l in p.payload["lengths"]]
-        loader = lambda i: load_wav(flat[i][1], sr=sr)[0]
+        load_errors: dict[int, str] = {}
+
+        def loader(i):
+            # a file that vanished/corrupted since dispatch-time validation
+            # must fail only its own request, not the coalesced batch: feed
+            # silence through the device and fail the request afterwards
+            try:
+                return load_wav(flat[i][1], sr=sr)[0]
+            except Exception as e:
+                load_errors[i] = f"{type(e).__name__}: {e}"
+                return np.zeros(1, np.float32)
+
         S = num_spk or self.pipe.num_spk
         remaining = {id(p): len(p.payload["wavs"]) for p in ps}
         outputs: dict[int, dict] = {id(p): {} for p in ps}
+        failures: dict[int, list[str]] = {id(p): [] for p in ps}
         t0 = time.monotonic()
-        for i, tracks in self.pipe.separate_stream(loader, lengths, num_spk):
+        for i, tracks in self.pipe.separate_stream(loader, lengths, num_spk,
+                                                   pad_batches=True):
             p, wav = flat[i]
-            paths = self._out_paths(wav, p.payload["out_dir"], S)
-            for path, est in zip(paths, tracks):
-                write_wav_int16(path, sr, est)
-            outputs[id(p)][wav] = paths
+            if i in load_errors:
+                failures[id(p)].append(f"{wav}: {load_errors[i]}")
+            else:
+                paths = separated_track_paths(p.payload["out_dir"], wav, S)
+                for path, est in zip(paths, tracks):
+                    write_wav_int16(path, sr, est)
+                outputs[id(p)][wav] = paths
             remaining[id(p)] -= 1
             if remaining[id(p)] == 0:
-                self._served += 1
-                p.finish({"ok": True, "outputs": outputs[id(p)],
-                          "ms": round((time.monotonic() - t0) * 1e3, 2)})
+                ms = round((time.monotonic() - t0) * 1e3, 2)
+                if failures[id(p)]:
+                    p.finish({"ok": False,
+                              "error": "; ".join(failures[id(p)]),
+                              "outputs": outputs[id(p)], "ms": ms})
+                else:
+                    self._served += 1
+                    p.finish({"ok": True, "outputs": outputs[id(p)],
+                              "ms": ms})
 
     def _run_long_form(self, ps: list[_Pending], num_spk: int | None) -> None:
-        from ..utils.audio import load_wav, write_wav_int16
+        from ..utils.audio import (load_wav, separated_track_paths,
+                                   write_wav_int16)
         sr = self.pipe.stft_cfg.sample_rate
         S = num_spk or self.pipe.num_spk
         for p in ps:
@@ -266,20 +347,28 @@ class SeparationServer:
                 kw["window_sec"] = float(p.payload["window_sec"])
             if "overlap_sec" in p.payload:
                 kw["overlap_sec"] = float(p.payload["overlap_sec"])
-            for wav in p.payload["wavs"]:
-                x, _ = load_wav(wav, sr=sr)
-                tracks = self.pipe.separate_long(x, num_spk, **kw)
-                paths = self._out_paths(wav, p.payload["out_dir"], S)
-                for path, est in zip(paths, tracks):
-                    write_wav_int16(path, sr, est)
-                outs[wav] = paths
+            try:
+                for wav in p.payload["wavs"]:
+                    x, _ = load_wav(wav, sr=sr)
+                    tracks = self.pipe.separate_long(x, num_spk, **kw)
+                    paths = separated_track_paths(p.payload["out_dir"], wav, S)
+                    for path, est in zip(paths, tracks):
+                        write_wav_int16(path, sr, est)
+                    outs[wav] = paths
+            except Exception as e:
+                p.finish({"ok": False, "error": f"{type(e).__name__}: {e}",
+                          "outputs": outs})
+                continue
             self._served += 1
             p.finish({"ok": True, "outputs": outs,
                       "ms": round((time.monotonic() - t0) * 1e3, 2)})
 
 
 def request(socket_path: str, payload: dict, timeout: float = 600.0) -> dict:
-    """Send one request to a running server and return its reply dict."""
+    """Send one request to a running server and return its reply dict.
+
+    Raises ``ConnectionError`` if the server closes the connection without
+    a complete reply (e.g. it shut down mid-request)."""
     with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
         s.settimeout(timeout)
         s.connect(socket_path)
@@ -290,4 +379,8 @@ def request(socket_path: str, payload: dict, timeout: float = 600.0) -> dict:
             if not chunk:
                 break
             buf += chunk
+    if not buf.endswith(b"\n"):
+        raise ConnectionError(
+            f"server at {socket_path} closed the connection without a "
+            f"complete reply ({len(buf)} bytes received)")
     return json.loads(buf.decode())

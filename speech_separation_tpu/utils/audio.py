@@ -99,3 +99,13 @@ def write_wav_int16(path: str, sr: int, x: np.ndarray) -> None:
     """Write float waveform as int16 with the reference's x*32767 scaling
     (reference steps/reconstruct_sources.py:41-42)."""
     wavfile.write(path, sr, (np.asarray(x) * 32767.0).astype(np.int16))
+
+
+def separated_track_paths(out_dir: str, wav_path: str,
+                          num_spk: int) -> list[str]:
+    """Output naming convention shared by `sepsep separate` and the
+    resident server: ``<out_dir>/<input stem>_s<k>.wav`` per source."""
+    import os
+    stem = os.path.splitext(os.path.basename(wav_path))[0]
+    return [os.path.join(out_dir, f"{stem}_s{s + 1}.wav")
+            for s in range(num_spk)]

@@ -114,19 +114,75 @@ def test_concurrent_requests_all_served(served):
 
 
 def test_bad_requests_rejected_without_killing_server(served):
+    out = str(served["root"] / "o")
     r = request(served["socket"], {"wavs": ["/nonexistent/x.wav"],
-                                   "out_dir": str(served["root"] / "o")})
+                                   "out_dir": out})
     assert not r["ok"] and "error" in r
     r = request(served["socket"], {"cmd": "nope"})
     assert not r["ok"]
-    r = request(served["socket"], {"wavs": [], "out_dir": "x"})
-    assert not r["ok"]
+    # type confusion must be rejected before it reaches open()/the worker:
+    # an int wav would be opened as a raw file descriptor, an unhashable
+    # num_spk would kill the batching thread
+    for bad in ({"wavs": [], "out_dir": out},
+                {"wavs": [3], "out_dir": out},
+                {"wavs": [None], "out_dir": out},
+                {"wavs": served["wavs"][:1], "out_dir": 7},
+                {"wavs": served["wavs"][:1], "out_dir": out,
+                 "num_spk": [2]},
+                {"wavs": served["wavs"][:1], "out_dir": out,
+                 "num_spk": 0},
+                {"wavs": served["wavs"][:1], "out_dir": out,
+                 "long_form": "yes"},
+                {"wavs": ["/a/mix.wav", "/b/mix.wav"], "out_dir": out}):
+        r = request(served["socket"], bad)
+        assert not r["ok"] and "error" in r, bad
     # malformed JSON on a raw socket
     with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
         s.connect(served["socket"])
         s.sendall(b"{not json\n")
         assert b'"ok": false' in s.recv(1 << 16)
     assert request(served["socket"], {"cmd": "ping"})["ok"]
+
+
+def test_load_failure_isolated_to_its_own_request(served):
+    """A wav that validates at dispatch but fails to load in the worker
+    (vanished/corrupted in between) must fail only its request — other
+    requests coalesced into the same device batch still succeed."""
+    from speech_separation_tpu.eval.serve import _Pending
+    server = served["server"]
+    good = _Pending({"wavs": served["wavs"][:1], "lengths": [7000],
+                     "out_dir": str(served["root"] / "iso_good")})
+    bad = _Pending({"wavs": ["/vanished/after/dispatch.wav"],
+                    "lengths": [5000],
+                    "out_dir": str(served["root"] / "iso_bad")})
+    os.makedirs(good.payload["out_dir"], exist_ok=True)
+    server._run_batched([good, bad], None)
+    assert good.reply["ok"]
+    assert all(os.path.exists(p)
+               for paths in good.reply["outputs"].values() for p in paths)
+    assert not bad.reply["ok"] and "vanished" in bad.reply["error"]
+
+
+def test_warmup_covers_any_request_size(served):
+    """The server pads batches to batch_size, so after one full-batch
+    warmup at a length bucket, a 1-file request at that bucket must NOT
+    trace/compile a new executable (jit caches per argument shape — the
+    whole point of pad_batches)."""
+    from speech_separation_tpu.dsp.stft import num_frames
+    server = served["server"]
+    pipe = server.pipe
+    # warm a bucket distinct from the other tests' (length_quantum=4096:
+    # 2.0 s of 8 kHz audio = 16000 samples -> 16384-sample bucket)
+    server.warmup([2.0])
+    key = (num_frames(16384, pipe.stft_cfg.hop), pipe.num_spk)
+    fused = pipe._fns[key]
+    traces = fused._cache_size()
+    out = str(served["root"] / "warm_out")
+    wav = str(served["root"] / "warm.wav")
+    write_wav_int16(wav, SR, np.zeros(15000, np.float32))
+    r = request(served["socket"], {"wavs": [wav], "out_dir": out})
+    assert r["ok"]
+    assert fused._cache_size() == traces  # same shape -> no new executable
 
 
 def test_serve_parser_and_separate_server_flag():
