@@ -153,6 +153,21 @@ def cmd_reconstruct(args):
                         sample_rate=args.sample_rate)
 
 
+def _data_mesh(args):
+    """Mesh for --data-parallel inference: all visible devices on the
+    'data' axis (params replicated, batch rows sharded). None when the
+    flag is off or only one device is visible."""
+    if not getattr(args, "data_parallel", False):
+        return None
+    import jax
+    if len(jax.devices()) < 2:
+        print("note: --data-parallel with one visible device; running "
+              "single-device")
+        return None
+    from ..parallel.mesh import make_mesh
+    return make_mesh()
+
+
 def cmd_separate(args):
     """Fused waveform->waveforms separation (the serving path)."""
     if args.server:
@@ -198,7 +213,8 @@ def cmd_separate(args):
     pipe = SeparationPipeline(args.model,
                               model_kwargs=read_model_config(args.model_config),
                               stft_cfg=cfg, batch_size=args.batch_size,
-                              num_spk=args.num_spk or None)
+                              num_spk=args.num_spk or None,
+                              mesh=_data_mesh(args))
     os.makedirs(args.out_dir, exist_ok=True)
 
     from ..utils.audio import separated_track_paths
@@ -237,7 +253,8 @@ def cmd_serve(args):
     pipe = SeparationPipeline(args.model,
                               model_kwargs=read_model_config(args.model_config),
                               stft_cfg=cfg, batch_size=args.batch_size,
-                              num_spk=args.num_spk or None)
+                              num_spk=args.num_spk or None,
+                              mesh=_data_mesh(args))
     server = SeparationServer(pipe, args.socket_path,
                               coalesce=args.coalesce)
     if args.warmup_sec:
@@ -437,7 +454,8 @@ def _run_eval_fused(args, test_sets, model, model_path, model_config):
                      sample_rate=args.sample_rate)
     pipe = SeparationPipeline(model_path,
                               model_kwargs=read_model_config(model_config),
-                              stft_cfg=cfg, batch_size=min(args.batch_size, 32))
+                              stft_cfg=cfg, batch_size=min(args.batch_size, 32),
+                              mesh=_data_mesh(args))
     for ds in test_sets:
         data_dir = os.path.join(args.data_root, ds)
         out_dir = os.path.join(args.model_dir, f"output_{model}", ds)
@@ -688,6 +706,10 @@ def build_parser():
                         "the request there instead of loading the model")
     p.add_argument("--server-wait", type=float, default=60.0,
                    help="seconds to wait for the server socket to appear")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard each batch over all visible devices "
+                        "(params replicated); batch-size is rounded up "
+                        "to a device multiple")
     p.set_defaults(fn=cmd_separate)
 
     p = sub.add_parser("serve", help="resident separation server (warm "
@@ -706,6 +728,10 @@ def build_parser():
     p.add_argument("--warmup-sec", default="",
                    help="comma-separated audio lengths (seconds) to "
                         "pre-compile at startup, e.g. '4,8'")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard each device batch over all visible devices "
+                        "(params replicated); batch-size is rounded up "
+                        "to a device multiple")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("score", help="BSS-eval + SI-SDR scoring")
@@ -770,6 +796,9 @@ def build_parser():
                    help="fused wav->wav separation (no feature/mask files)")
     p.add_argument("--device-scoring", action="store_true",
                    help="batched BSS-eval on the accelerator")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="(with --on-device-features) shard each batch over "
+                        "all visible devices, params replicated")
     _add_common(p)
     _add_stft(p)
     p.set_defaults(fn=cmd_run_eval)

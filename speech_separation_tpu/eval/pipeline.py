@@ -69,7 +69,8 @@ class SeparationPipeline:
                  model_kwargs: dict | None = None,
                  stft_cfg: STFTConfig = STFTConfig(),
                  batch_size: int = 16, length_quantum: int = 16384,
-                 num_spk: int | None = None, seed: int = 0):
+                 num_spk: int | None = None, seed: int = 0,
+                 mesh=None):
         self.arch, self.cfg, self.params, self.state = load_model(
             model_path, arch_name, model_kwargs)
         self.stft_cfg = stft_cfg
@@ -78,6 +79,27 @@ class SeparationPipeline:
         self.num_spk = num_spk or getattr(self.cfg, "num_spk", 2)
         self._rng = jax.random.PRNGKey(seed)
         self._fns = {}
+        # data-parallel inference: batch rows sharded over the mesh's 'data'
+        # axis, parameters replicated. Inference is row-independent (eval-
+        # mode BN uses running stats), so DP needs zero collectives — XLA
+        # partitions the whole fused program from the input sharding alone.
+        self.mesh = mesh
+        self._batch_sharding = self._rep_sharding = None
+        if mesh is not None and mesh.size > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            n_data = mesh.shape["data"]
+            if self.batch_size % n_data != 0:
+                bp = ((self.batch_size + n_data - 1) // n_data) * n_data
+                print(f"note: pipeline batch_size {self.batch_size} -> {bp} "
+                      f"(must divide over {n_data} data-parallel devices)")
+                self.batch_size = bp
+            self._batch_sharding = NamedSharding(mesh, P("data"))
+            self._rep_sharding = NamedSharding(mesh, P())
+            rep = lambda t: jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, self._rep_sharding), t)
+            self.params, self.state = rep(self.params), rep(self.state)
+        else:
+            self.mesh = None
 
     def _fused_fn(self, n_t: int, num_spk: int):
         key = (n_t, num_spk)
@@ -132,11 +154,16 @@ class SeparationPipeline:
         must reuse the warmed-up full-batch program instead of compiling a
         fresh B=1 shape. Pad rows are dead compute (milliseconds) and never
         yielded; outputs are row-independent (inference BN uses running
-        stats), so results are unchanged."""
+        stats), so results are unchanged.
+
+        With a ``mesh``, batches are always padded to ``batch_size`` (which
+        divides the data axis) and sharded over it — every chip separates
+        ``batch_size / n_data`` rows of the same executable."""
         from concurrent.futures import ThreadPoolExecutor
 
         scfg = self.stft_cfg
         S = num_spk or self.num_spk
+        pad_batches = pad_batches or self.mesh is not None
         order = sorted(range(len(lengths)), key=lambda i: lengths[i])
         groups = [order[s: s + self.batch_size]
                   for s in range(0, len(order), self.batch_size)]
@@ -164,8 +191,13 @@ class SeparationPipeline:
                     futs.append(pool.submit(load_group, groups[k + prefetch]))
                 self._rng, step_rng = jax.random.split(self._rng)
                 fused = self._fused_fn(n_t, S)
-                y = np.asarray(fused(jnp.asarray(xp), jnp.asarray(counts),
-                                     step_rng))
+                if self.mesh is not None:
+                    xp_d = jax.device_put(xp, self._batch_sharding)
+                    counts_d = jax.device_put(counts, self._batch_sharding)
+                    step_rng = jax.device_put(step_rng, self._rep_sharding)
+                else:
+                    xp_d, counts_d = jnp.asarray(xp), jnp.asarray(counts)
+                y = np.asarray(fused(xp_d, counts_d, step_rng))
                 half = scfg.n_fft // 2
                 for r, i in enumerate(idxs):
                     L_out = istft_output_length(int(counts[r]), scfg.hop)
