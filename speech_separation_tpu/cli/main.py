@@ -267,7 +267,8 @@ def cmd_serve(args):
 def cmd_score(args):
     from ..eval import evaluate_sources
     evaluate_sources(args.data_dir, args.exp_dir, num_workers=args.nj,
-                     device=args.device_scoring)
+                     device=args.device_scoring,
+                     data_parallel=getattr(args, "data_parallel", False))
 
 
 def cmd_oracle(args):
@@ -507,7 +508,8 @@ def cmd_run_eval(args):
                 means = evaluate_sources(
                     data_dir,
                     os.path.join(args.model_dir, f"output_{model}", ds),
-                    num_workers=args.nj, device=args.device_scoring)
+                    num_workers=args.nj, device=args.device_scoring,
+                    data_parallel=getattr(args, "data_parallel", False))
                 print(f"{ds} mean SDR: {means['SDR']:.2f}")
         return
 
@@ -554,7 +556,8 @@ def cmd_run_eval(args):
             means = evaluate_sources(
                 os.path.join(args.data_root, ds),
                 os.path.join(args.model_dir, f"output_{model}", ds),
-                num_workers=args.nj, device=args.device_scoring)
+                num_workers=args.nj, device=args.device_scoring,
+                data_parallel=getattr(args, "data_parallel", False))
             print(f"{ds} mean SDR: {means['SDR']:.2f}")
 
 
@@ -742,6 +745,9 @@ def build_parser():
                    help="batched BSS-eval on the accelerator (two-float "
                         "arithmetic, within 0.1 dB of host float64; the "
                         "fast path for large test sets)")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="(with --device-scoring) shard each scoring slab "
+                        "over all visible devices")
     p.set_defaults(fn=cmd_score)
 
     p = sub.add_parser("oracle", help="oracle-mask upper bound eval")
@@ -797,8 +803,9 @@ def build_parser():
     p.add_argument("--device-scoring", action="store_true",
                    help="batched BSS-eval on the accelerator")
     p.add_argument("--data-parallel", action="store_true",
-                   help="(with --on-device-features) shard each batch over "
-                        "all visible devices, params replicated")
+                   help="shard device batches over all visible devices "
+                        "(applies to --on-device-features separation and "
+                        "--device-scoring)")
     _add_common(p)
     _add_stft(p)
     p.set_defaults(fn=cmd_run_eval)

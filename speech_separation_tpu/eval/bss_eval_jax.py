@@ -325,7 +325,8 @@ def default_max_batch(n: int, L: int, flen: int = 512) -> int:
 
 def bss_eval_sources_batch(reference_sources, estimated_sources,
                            lengths=None, compute_permutation=True,
-                           flen: int = 512, max_batch: int | None = None):
+                           flen: int = 512, max_batch: int | None = None,
+                           mesh=None):
     """Device BSS-eval over a batch of utterances.
 
     Args:
@@ -334,6 +335,9 @@ def bss_eval_sources_batch(reference_sources, estimated_sources,
       lengths: unused (kept for API symmetry) — zero padding is exact.
       max_batch: device sub-batch size (the shifted-copies matrix is
         ~n*flen*L*4 bytes per utterance).
+      mesh: optional device mesh — shards each chunk's utterance axis over
+        the 'data' axis (every metric, including the permutation search,
+        is per-utterance, so the sharded program needs zero collectives).
 
     Returns (sdr, sir, sar, perm) numpy arrays, each (B, n).
 
@@ -351,16 +355,33 @@ def bss_eval_sources_batch(reference_sources, estimated_sources,
     if max_batch is None:
         max_batch = default_max_batch(refs.shape[1], refs.shape[2], flen)
 
+    n_data, put = 1, jnp.asarray
+    if mesh is not None and mesh.size > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        n_data = mesh.shape["data"]
+        # per-chip sub-batch: each device holds max_batch rows of HBM
+        # (default_max_batch budgets one chip), so the global chunk scales
+        # with the mesh
+        max_batch = max_batch * n_data
+        sharding = NamedSharding(mesh, P("data"))
+        put = lambda x: jax.device_put(x, sharding)
+
     # Shape discipline: a ragged tail chunk (B % max_batch) would compile
     # its own XLA program (~30 s on the TPU backend, which dwarfs the few
     # wasted rows) — pad it to max_batch by REPEATING real rows (repeats
     # keep Grams well-conditioned; zero rows would NaN the trust gate) and
     # drop the padded outputs.  Only when a full chunk already exists:
-    # a single small call (tests, tiny sets) keeps its exact shape.
+    # a single small call (tests, tiny sets) keeps its exact shape — except
+    # under a mesh, where every chunk must divide the data axis.
     def chunk_arrays(x, s, e):
         c = x[s:e]
+        target = None
         if e - s < max_batch and B > max_batch:
-            reps = np.arange(max_batch) % (e - s)
+            target = max_batch
+        elif (e - s) % n_data != 0:
+            target = -(-(e - s) // n_data) * n_data
+        if target is not None:
+            reps = np.arange(target) % (e - s)
             c = c[reps]
         return c
 
@@ -374,8 +395,8 @@ def bss_eval_sources_batch(reference_sources, estimated_sources,
     pending = []  # (device_result_tuple, n_valid_rows)
     for s in starts:
         e = min(s + max_batch, B)
-        r = _bss_eval_batch(jnp.asarray(chunk_arrays(refs, s, e)),
-                            jnp.asarray(chunk_arrays(ests, s, e)),
+        r = _bss_eval_batch(put(chunk_arrays(refs, s, e)),
+                            put(chunk_arrays(ests, s, e)),
                             flen, compute_permutation)
         pending.append((r, e - s))
         if len(pending) > 1:

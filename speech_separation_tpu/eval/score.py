@@ -79,7 +79,8 @@ def _maybe_int16(x: np.ndarray) -> np.ndarray:
     return x if y is None else y
 
 
-def _score_device(jobs, log, slab: int = 64, pad_quantum: int = 8000):
+def _score_device(jobs, log, slab: int = 64, pad_quantum: int = 8000,
+                  mesh=None):
     """Batched TPU scoring (eval/bss_eval_jax.py, two-float arithmetic —
     within 0.1 dB of the host f64 scorer; tests/test_bss_eval_jax.py).
     Utterances are grouped by source count and padded length (zero padding
@@ -132,7 +133,9 @@ def _score_device(jobs, log, slab: int = 64, pad_quantum: int = 8000):
         if global_pad is not None:
             # size slabs as a whole number of device chunks so full slabs
             # split with no ragged (row-padded) tail chunk
-            mb = default_max_batch(num_src, global_pad)
+            mb = default_max_batch(num_src, global_pad) * (
+                mesh.shape["data"] if mesh is not None and mesh.size > 1
+                else 1)
             step = mb * max(1, slab // mb)
         for s in range(0, len(group), step):
             slabs.append((num_src, group[s: s + step]))
@@ -190,7 +193,8 @@ def _score_device(jobs, log, slab: int = 64, pad_quantum: int = 8000):
             refs, ests = pack_slabs(cases, num_src)
             t_pack += _time.monotonic() - t0
             t0 = _time.monotonic()
-            sdr, sir, sar, perm = bss_eval_sources_batch(refs, ests)
+            sdr, sir, sar, perm = bss_eval_sources_batch(refs, ests,
+                                                         mesh=mesh)
             dt = _time.monotonic() - t0
             t_dev += dt
             if t_dev_first is None:
@@ -234,13 +238,16 @@ def _write_stats(path: str, values: np.ndarray) -> None:
 
 
 def evaluate_sources(data_dir: str, exp_dir: str, num_workers: int = 0,
-                     device: bool = False, log=print) -> dict:
+                     device: bool = False, data_parallel: bool = False,
+                     log=print) -> dict:
     """Score exp_dir/wav against the oracle sources of data_dir.
     Returns {'SDR': mean, 'SIR': ..., 'SAR': ..., 'SI-SDR': ..., 'SI-SDRi': ...}.
 
     device=True runs BSS-eval batched on the accelerator (the fast path
     for large test sets; two-float arithmetic, within 0.1 dB of the host
-    float64 scorer — see eval/bss_eval_jax.py)."""
+    float64 scorer — see eval/bss_eval_jax.py). data_parallel=True
+    additionally shards each scoring slab over all visible devices
+    (per-utterance metric — zero collectives)."""
     results_dir = os.path.join(exp_dir, "results")
     os.makedirs(results_dir, exist_ok=True)
     num_src_dict = read_utt2num_spk(os.path.join(data_dir, "utt2num_spk"))
@@ -249,7 +256,16 @@ def evaluate_sources(data_dir: str, exp_dir: str, num_workers: int = 0,
 
     jobs = [(utt, path, num_src_dict[utt], est_dir) for utt, path in entries]
     if device:
-        results = _score_device(jobs, log)
+        mesh = None
+        if data_parallel:
+            import jax
+            if len(jax.devices()) > 1:
+                from ..parallel.mesh import make_mesh
+                mesh = make_mesh()
+            else:
+                log("note: --data-parallel with one visible device; "
+                    "running single-device")
+        results = _score_device(jobs, log, mesh=mesh)
     elif num_workers and num_workers > 1:
         import multiprocessing as mp
         ctx = mp.get_context("spawn")  # never fork initialized JAX state
