@@ -128,36 +128,63 @@ def bench_serving(B=16, n_sec=6.0, rounds=6):
             "audio_sec_per_sec": B * n_sec / dt}
 
 
-def wait_for_healthy_backend(max_wait_s: float = 1200.0,
+def wait_for_healthy_backend(max_wait_s: float | None = None,
                              probe_budget_s: float = 20.0) -> float:
-    """The TPU tunnel sporadically degrades to minutes-per-dispatch; any
-    number measured in such a window is garbage. Probe with a trivial op
-    and wait (bounded) for a responsive backend. Returns the last probe
-    latency in seconds (recorded in the output for honesty)."""
+    """The TPU tunnel sporadically degrades to minutes-per-dispatch — or
+    hangs outright at backend *init* — and any number measured in such a
+    window is garbage. Probe with a trivial op in a CHILD process first
+    (an init hang in-process would block forever with no output; a child
+    can be killed on a deadline) and only initialize this process's
+    backend once a child probe succeeds. Returns the last probe latency
+    in seconds (recorded in the output for honesty)."""
+    import subprocess
     import sys
-    import jax
-    import jax.numpy as jnp
 
+    if max_wait_s is None:
+        try:
+            max_wait_s = float(os.environ.get("SEPSEP_BENCH_MAX_WAIT", 1200))
+        except ValueError:
+            max_wait_s = 1200.0
+    probe_src = ("import time,jax,jax.numpy as jnp;t=time.time();"
+                 "float(jnp.ones((8,8)).sum());print(time.time()-t)")
     t_start = time.time()
     latency = float("inf")
     while True:
-        t0 = time.time()
         try:
-            float(jnp.ones((8, 8)).sum())
-            latency = time.time() - t0
-        except Exception:
+            r = subprocess.run([sys.executable, "-c", probe_src],
+                               capture_output=True, text=True,
+                               timeout=probe_budget_s + 60)
+            latency = (float(r.stdout.strip().splitlines()[-1])
+                       if r.returncode == 0 else float("inf"))
+        except (subprocess.TimeoutExpired, ValueError, IndexError):
             latency = float("inf")
         if latency < probe_budget_s:
-            return latency
+            break
         if time.time() - t_start > max_wait_s:
             print(f"# bench: backend still degraded after {max_wait_s:.0f}s "
                   f"(trivial-op latency {latency:.0f}s) — numbers below are "
                   "NOT steady-state hardware numbers", file=sys.stderr,
                   flush=True)
-            return latency
+            break
         print(f"# bench: backend degraded (trivial op {latency:.0f}s); "
               "waiting for a healthy window", file=sys.stderr, flush=True)
         time.sleep(60)
+    if latency == float("inf"):
+        # backend init is hung: an in-process attempt would block forever
+        # and produce NO output at all — report the outage explicitly
+        print(json.dumps({
+            "metric": "uPIT train throughput (backend unreachable)",
+            "value": 0, "unit": "utts/sec/chip", "vs_baseline": None,
+            "detail": {"error": "TPU backend init hung/degraded for "
+                                f"{max_wait_s:.0f}s; no measurement possible"},
+        }))
+        raise SystemExit(1)
+    # the child released the (single-client) tunnel before returning;
+    # init in-process now and fold the real dispatch latency in
+    t0 = time.time()
+    import jax.numpy as jnp
+    float(jnp.ones((8, 8)).sum())
+    return time.time() - t0
 
 
 def main():
