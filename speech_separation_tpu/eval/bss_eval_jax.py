@@ -326,7 +326,7 @@ def default_max_batch(n: int, L: int, flen: int = 512) -> int:
 def bss_eval_sources_batch(reference_sources, estimated_sources,
                            lengths=None, compute_permutation=True,
                            flen: int = 512, max_batch: int | None = None,
-                           mesh=None):
+                           mesh=None, pad_to_chunk: bool = False):
     """Device BSS-eval over a batch of utterances.
 
     Args:
@@ -338,6 +338,11 @@ def bss_eval_sources_batch(reference_sources, estimated_sources,
       mesh: optional device mesh — shards each chunk's utterance axis over
         the 'data' axis (every metric, including the permutation search,
         is per-utterance, so the sharded program needs zero collectives).
+      pad_to_chunk: row-pad even a single sub-max_batch call up to
+        max_batch. For callers scoring many slabs of one corpus (score.py)
+        whose FINAL slab is smaller than one device chunk: an exact-shape
+        call there would compile a fresh program (~30 s on the TPU
+        backend) that padding lets reuse the warm full-chunk executable.
 
     Returns (sdr, sir, sar, perm) numpy arrays, each (B, n).
 
@@ -376,7 +381,7 @@ def bss_eval_sources_batch(reference_sources, estimated_sources,
     def chunk_arrays(x, s, e):
         c = x[s:e]
         target = None
-        if e - s < max_batch and B > max_batch:
+        if e - s < max_batch and (B > max_batch or pad_to_chunk):
             target = max_batch
         elif (e - s) % n_data != 0:
             target = -(-(e - s) // n_data) * n_data

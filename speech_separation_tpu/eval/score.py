@@ -121,8 +121,14 @@ def _score_device(jobs, log, slab: int = 64, pad_quantum: int = 8000,
     # pad everything to ONE corpus-level length; past the breakeven
     # (~10k utts at 30 s/compile vs ~25% FLOP waste on a 3-5 s corpus)
     # switch to per-slab quantized lengths.
-    single_shape = len(jobs) <= int(
-        os.environ.get("SEPSEP_SCORE_SINGLE_SHAPE_MAX", "10000") or "10000")
+    try:
+        single_shape_max = int(
+            os.environ.get("SEPSEP_SCORE_SINGLE_SHAPE_MAX", "10000"))
+    except ValueError:
+        log("note: ignoring malformed SEPSEP_SCORE_SINGLE_SHAPE_MAX "
+            f"({os.environ['SEPSEP_SCORE_SINGLE_SHAPE_MAX']!r}); using 10000")
+        single_shape_max = 10000
+    single_shape = len(jobs) <= single_shape_max
     global_pad = ((max(hdr_len.values()) + pad_quantum - 1)
                   // pad_quantum) * pad_quantum if single_shape else None
 
@@ -193,8 +199,12 @@ def _score_device(jobs, log, slab: int = 64, pad_quantum: int = 8000,
             refs, ests = pack_slabs(cases, num_src)
             t_pack += _time.monotonic() - t0
             t0 = _time.monotonic()
-            sdr, sir, sar, perm = bss_eval_sources_batch(refs, ests,
-                                                         mesh=mesh)
+            # pad_to_chunk: the final slab of a group is usually smaller
+            # than one device chunk; padding it to chunk size reuses the
+            # warm executable instead of compiling an exact-shape program
+            sdr, sir, sar, perm = bss_eval_sources_batch(
+                refs, ests, mesh=mesh,
+                pad_to_chunk=global_pad is not None)
             dt = _time.monotonic() - t0
             t_dev += dt
             if t_dev_first is None:
@@ -258,13 +268,8 @@ def evaluate_sources(data_dir: str, exp_dir: str, num_workers: int = 0,
     if device:
         mesh = None
         if data_parallel:
-            import jax
-            if len(jax.devices()) > 1:
-                from ..parallel.mesh import make_mesh
-                mesh = make_mesh()
-            else:
-                log("note: --data-parallel with one visible device; "
-                    "running single-device")
+            from ..parallel.mesh import data_parallel_mesh
+            mesh = data_parallel_mesh(log)
         results = _score_device(jobs, log, mesh=mesh)
     elif num_workers and num_workers > 1:
         import multiprocessing as mp

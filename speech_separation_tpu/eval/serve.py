@@ -242,6 +242,11 @@ class SeparationServer:
             return {"ok": False, "error": "server shutting down"}
         pending = _Pending({**payload, "lengths": lengths})
         self._queue.put(pending)
+        if self._stop.is_set():
+            # shutdown may have drained the queue between the check above
+            # and our put — nothing would ever finish this request. Drain
+            # again ourselves (idempotent; a no-op if the worker took it).
+            self._drain_queue()
         pending.event.wait()
         return pending.reply
 

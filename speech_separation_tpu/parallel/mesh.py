@@ -36,6 +36,18 @@ def make_mesh(data: int | None = None, model: int = 1, devices=None) -> Mesh:
     return Mesh(grid, axis_names=("data", "model"))
 
 
+def data_parallel_mesh(log=print) -> Mesh | None:
+    """Mesh for data-parallel inference/scoring: all visible devices on
+    the 'data' axis (params replicated, batch rows sharded). None when
+    only one device is visible — the caller's single-device path is then
+    both simpler and identical in output."""
+    if len(jax.devices()) < 2:
+        log("note: --data-parallel with one visible device; running "
+            "single-device")
+        return None
+    return make_mesh()
+
+
 _default_mesh: Mesh | None = None
 
 

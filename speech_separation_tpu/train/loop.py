@@ -244,8 +244,17 @@ class _ExpLock:
                     pass
                 try:
                     pid = int(open(self.path).read().strip())
-                except (FileNotFoundError, OSError):
+                except FileNotFoundError:
+                    time.sleep(0.05)
                     continue  # released between attempts; retry
+                except OSError as e:
+                    # a persistent read error (EACCES on a cross-uid 0600
+                    # lock, EIO, stale NFS handle) would otherwise spin
+                    # this loop forever — treat unreadable as locked
+                    raise ExpDirLocked(
+                        f"{os.path.dirname(self.path)} has a lock file "
+                        f"this process cannot read ({e}); refusing to run "
+                        "concurrently") from e
                 except ValueError:
                     pid = -1  # unparsable => stale (content is atomic)
                 if pid > 0:

@@ -20,23 +20,16 @@ Batch layout: {'audio': (B, 1+S, Lp) float32 — row 0 the mixture, rows
 from __future__ import annotations
 
 import os
-import wave
 
 import numpy as np
 
 from ..datadir.scp import read_scp, write_scp, source_wavs_for_mix
 from ..dsp.stft import STFTConfig, num_frames, reflect_pad_center
-from ..utils.audio import load_wav
+from ..utils.audio import load_wav, wav_num_samples
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
-
-
-def _wav_num_frames(path: str) -> int:
-    """Sample count from the wav header only (no data read)."""
-    with wave.open(path, "rb") as w:
-        return w.getnframes()
 
 
 class WavDataset:
@@ -62,7 +55,7 @@ class WavDataset:
                 [n[utt] for utt, _ in self.entries], np.int32)
         else:
             self.num_samples = np.asarray(
-                [_wav_num_frames(path) for _, path in self.entries], np.int32)
+                [wav_num_samples(path) for _, path in self.entries], np.int32)
             write_scp(cache, ((utt, str(n)) for (utt, _), n
                               in zip(self.entries, self.num_samples)))
         # frame counts drive bucketing like utt2num_frames does

@@ -144,3 +144,18 @@ def test_int16_inputs_match_float_scoring():
     # inexact floats must pass through unchanged
     x = rng.standard_normal((2, 8)).astype(np.float32)
     assert _maybe_int16(x) is x
+
+
+def test_pad_to_chunk_matches_exact_shape():
+    """pad_to_chunk=True row-pads a sub-chunk call up to max_batch (so the
+    scoring sweep's final slab reuses the warm full-chunk executable);
+    results must equal the exact-shape call."""
+    cases = [_mixture_case(s, L=3000) for s in range(3)]
+    refs = np.stack([c[0] for c in cases]).astype(np.float32)
+    ests = np.stack([c[1] for c in cases]).astype(np.float32)
+    out_exact = bss_eval_sources_batch(refs, ests, flen=32)
+    out_padded = bss_eval_sources_batch(refs, ests, flen=32, max_batch=8,
+                                        pad_to_chunk=True)
+    for a, b in zip(out_exact, out_padded):
+        assert b.shape == a.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

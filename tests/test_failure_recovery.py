@@ -154,3 +154,15 @@ def test_exp_lock_stale_steal_is_exclusive(tmp_path):
     assert sum(results[:]) == 1, list(results[:])
     # lock released after the winner's exit
     assert not os.path.exists(os.path.join(exp_dir, ".train.lock"))
+
+
+def test_unreadable_lock_raises_instead_of_spinning(tmp_path):
+    """A lock file that exists but cannot be READ (cross-uid 0600, EIO,
+    stale NFS handle) must raise ExpDirLocked, not busy-spin forever.
+    Simulated with a directory named like the lock: open() raises
+    IsADirectoryError (an OSError), and link() fails with EEXIST."""
+    exp = str(tmp_path / "exp")
+    os.makedirs(os.path.join(exp, ".train.lock"))
+    with pytest.raises(ExpDirLocked, match="cannot read"):
+        with _ExpLock(exp):
+            pass

@@ -203,3 +203,33 @@ def test_shutdown_removes_socket(served):
     served["thread"].join(timeout=15)
     assert not served["thread"].is_alive()
     assert not os.path.exists(served["socket"])
+
+
+def test_request_queued_during_shutdown_still_gets_a_reply(served, tmp_path):
+    """The shutdown/enqueue race: a request whose queue.put lands AFTER the
+    worker's final drain must still be finished (with an error), never left
+    blocking its connection thread on event.wait() forever. Simulated by
+    setting _stop between _dispatch's pre-put check and the put itself."""
+    from speech_separation_tpu.eval.serve import SeparationServer, _Pending
+
+    class _RacingQueue:
+        """Wraps a drained-and-stopped server's queue: the put itself flips
+        _stop, modeling shutdown landing in that exact window."""
+
+        def __init__(self, server):
+            self.server = server
+            self.inner = server._queue
+
+        def put(self, item):
+            self.server._stop.set()   # shutdown wins the race ...
+            self.inner.put(item)      # ... and the worker never sees this
+
+        def __getattr__(self, name):
+            return getattr(self.inner, name)
+
+    srv = SeparationServer(pipeline=None, socket_path="/nonexistent.sock")
+    # no worker thread running (as after its final drain)
+    srv._queue = _RacingQueue(srv)
+    reply = srv._dispatch({"wavs": [served["wavs"][0]],
+                           "out_dir": str(tmp_path)})
+    assert reply == {"ok": False, "error": "server shutting down"}
