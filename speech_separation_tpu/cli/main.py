@@ -154,18 +154,12 @@ def cmd_reconstruct(args):
 
 
 def _data_mesh(args):
-    """Mesh for --data-parallel inference: all visible devices on the
-    'data' axis (params replicated, batch rows sharded). None when the
-    flag is off or only one device is visible."""
+    """Mesh for --data-parallel inference, or None when the flag is off
+    (or only one device is visible)."""
     if not getattr(args, "data_parallel", False):
         return None
-    import jax
-    if len(jax.devices()) < 2:
-        print("note: --data-parallel with one visible device; running "
-              "single-device")
-        return None
-    from ..parallel.mesh import make_mesh
-    return make_mesh()
+    from ..parallel.mesh import data_parallel_mesh
+    return data_parallel_mesh()
 
 
 def cmd_separate(args):
@@ -175,6 +169,21 @@ def cmd_separate(args):
         # no compile — milliseconds instead of seconds per invocation
         import time
         from ..eval.serve import request
+        # the daemon's own model/STFT/batch configuration wins; flags that
+        # only configure a locally-built pipeline are NOT forwarded — say
+        # so instead of silently producing wrong-parameter output
+        ignored = [(f, v) for f, v, d in (
+            ("--model-config", args.model_config, ""),
+            ("--batch-size", args.batch_size, 16),
+            ("--fft-dim", args.fft_dim, 512),
+            ("--step-size", args.step_size, 128),
+            ("--sample-rate", args.sample_rate, 8000),
+            ("--data-parallel", args.data_parallel, False),
+        ) if v != d]
+        if ignored:
+            print("note: --server forwards only wavs/out_dir/num_spk/"
+                  "long-form; the daemon's own configuration wins over: "
+                  + ", ".join(f"{f}={v}" for f, v in ignored))
         payload = {"wavs": [os.path.abspath(w) for w in args.wavs],
                    "out_dir": os.path.abspath(args.out_dir)}
         if args.num_spk:
@@ -346,6 +355,60 @@ def cmd_info(args):
           + ("present" if ckpt.get("opt_state") is not None else "absent"))
     print("rng state: "
           + ("present" if ckpt.get("rng") is not None else "absent"))
+
+
+def cmd_doctor(args):
+    """Environment health check: python/JAX stack, accelerator backend
+    (probed in a KILLABLE child process — the TPU tunnel's known failure
+    mode is an indefinite hang at PJRT init, which an in-process probe
+    could neither detect nor survive), native IO library, compile cache.
+    Exits non-zero if the backend probe fails."""
+    import subprocess
+    import sys
+
+    ok = True
+    print(f"python: {sys.version.split()[0]} ({sys.executable})")
+    try:
+        import jax
+        print(f"jax: {jax.__version__}")
+    except Exception as e:
+        print(f"jax: IMPORT FAILED ({e})")
+        raise SystemExit(1)
+
+    probe_src = ("import time,jax,jax.numpy as jnp;t=time.time();"
+                 "d=jax.devices();x=float(jnp.ones((8,8)).sum());"
+                 "print(d[0].platform, d[0].device_kind.replace(' ','_'),"
+                 "len(d), round(time.time()-t,3))")
+    try:
+        r = subprocess.run([sys.executable, "-c", probe_src],
+                           capture_output=True, text=True,
+                           timeout=args.probe_timeout)
+        if r.returncode == 0 and r.stdout.strip():
+            plat, kind, n, lat = r.stdout.strip().splitlines()[-1].split()
+            print(f"backend: {plat} ({kind}), {n} device(s), "
+                  f"trivial-op latency {lat}s (incl. init)")
+        else:
+            ok = False
+            tail = (r.stderr or "").strip().splitlines()[-1:]
+            print(f"backend: PROBE FAILED (exit {r.returncode})"
+                  + (f" — {tail[0]}" if tail else ""))
+    except subprocess.TimeoutExpired:
+        ok = False
+        print(f"backend: HUNG — no device init within {args.probe_timeout:.0f}s "
+              "(the tunnel/plugin is down; CPU fallback: "
+              "JAX_PLATFORMS=cpu with the plugin off PYTHONPATH)")
+
+    from ..utils.native import _load_library
+    print("native io (libsepio.so): "
+          + ("loaded" if _load_library() is not None else
+             "unavailable (pure-Python fallback active; make -C native)"))
+    d = (os.environ.get("SEPSEP_COMPILE_CACHE", "")
+         or os.path.join(os.path.expanduser("~"), ".cache",
+                         "sepsep_jax_cache"))
+    n = len(os.listdir(d)) if os.path.isdir(d) else 0
+    print(f"compile cache: {d} ({n} entries)")
+    if not ok:
+        raise SystemExit(1)
 
 
 def cmd_bench(args):
@@ -758,6 +821,14 @@ def build_parser():
                         "host-f64 fallback via the trust gate)")
     _add_stft(p)
     p.set_defaults(fn=cmd_oracle)
+
+    p = sub.add_parser("doctor", help="environment health check (backend "
+                                      "probe in a killable child, native "
+                                      "io, compile cache)")
+    p.add_argument("--probe-timeout", type=float, default=60.0,
+                   help="seconds before declaring the accelerator backend "
+                        "hung")
+    p.set_defaults(fn=cmd_doctor)
 
     p = sub.add_parser("info", help="inspect a checkpoint (arch, "
                                     "hyperparameters, state)")

@@ -100,6 +100,25 @@ def test_bench_subcommand_registered():
     assert args.rsh is True
 
 
+def test_doctor_subcommand(capsys, monkeypatch):
+    """`sepsep doctor` reports the stack and probes the backend in a child
+    process; pointed at the CPU backend (the child inherits os.environ —
+    conftest's in-process jax.config override does not reach it) it must
+    exit cleanly and print every section."""
+    from speech_separation_tpu.cli.main import build_parser
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.setenv("PYTHONPATH", os.pathsep.join(
+        p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p))
+    args = build_parser().parse_args(["doctor", "--probe-timeout", "120"])
+    args.fn(args)
+    out = capsys.readouterr().out
+    for section in ("python:", "jax:", "backend:", "native io",
+                    "compile cache:"):
+        assert section in out, out
+    assert "HUNG" not in out and "FAILED" not in out
+
+
 def test_info_subcommand(tmp_path, capsys):
     import jax
     from speech_separation_tpu.models import upit
