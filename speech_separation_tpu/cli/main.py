@@ -14,7 +14,7 @@ conventions survive:
 
 Subcommands: prepare, validate, split, extract, pack-features, train,
 eval-masks, reconstruct, stage-data, separate, serve, score, oracle, info,
-bench, import-model, run-train, run-eval.
+bench, doctor, import-model, run-train, run-eval.
 """
 
 from __future__ import annotations
@@ -309,14 +309,16 @@ def cmd_oracle(args):
             with ProcessPoolExecutor(max_workers=args.mj, mp_context=ctx) as pool:
                 futs = [pool.submit(evaluate_oracle, split_dir, args.hard_mask,
                                     cfg, f".{i}",
-                                    device=args.device_scoring)
+                                    device=args.device_scoring,
+                                    data_parallel=args.data_parallel)
                         for i in range(1, args.nj + 1)]
                 for f in futs:
                     f.result()
         else:
             for i in range(1, args.nj + 1):
                 evaluate_oracle(split_dir, args.hard_mask, cfg, f".{i}",
-                                device=args.device_scoring)
+                                device=args.device_scoring,
+                                data_parallel=args.data_parallel)
         # move shard outputs up before merging
         kind = "hard" if args.hard_mask else "soft"
         src = os.path.join(split_dir, f"oracle_{kind}_mask_eval")
@@ -327,7 +329,8 @@ def cmd_oracle(args):
         means = merge_oracle_shards(args.data_dir, args.hard_mask, args.nj)
     else:
         evaluate_oracle(args.data_dir, args.hard_mask, cfg,
-                        device=args.device_scoring)
+                        device=args.device_scoring,
+                        data_parallel=args.data_parallel)
         means = merge_oracle_shards(args.data_dir, args.hard_mask, 1)
     print(" ".join(f"oracle mean {k}: {v:.2f}" for k, v in means.items()))
 
@@ -819,6 +822,9 @@ def build_parser():
     p.add_argument("--device-scoring", action="store_true",
                    help="batched BSS-eval on the accelerator (two-float; "
                         "host-f64 fallback via the trust gate)")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="(with --device-scoring) shard each scoring slab "
+                        "over all visible devices")
     _add_stft(p)
     p.set_defaults(fn=cmd_oracle)
 

@@ -54,7 +54,7 @@ def _stft_rows(signals: list[np.ndarray], cfg: STFTConfig):
     return out
 
 
-def _score_oracle_slab(slab, log, pad_quantum: int = 8000):
+def _score_oracle_slab(slab, log, pad_quantum: int = 8000, mesh=None):
     """Device-batched no-permutation BSS-eval of [(seg_id, oracle, est)]
     cases, grouped by source count and padded to a QUANTIZED slab max
     (zero padding is metric-exact; the quantum bounds the number of
@@ -80,7 +80,8 @@ def _score_oracle_slab(slab, log, pad_quantum: int = 8000):
             refs[i, :, : oracle.shape[1]] = oracle
             ests[i, :, : est.shape[1]] = est
         sdr, sir, sar, _ = bss_eval_sources_batch(
-            _maybe_int16(refs), _maybe_int16(ests), compute_permutation=False)
+            _maybe_int16(refs), _maybe_int16(ests), compute_permutation=False,
+            mesh=mesh)
         for i, (sid, oracle, est) in enumerate(group):
             if (np.all(np.isfinite(sdr[i])) and np.all(np.isfinite(sir[i]))
                     and np.all(np.isfinite(sar[i]))):
@@ -98,11 +99,13 @@ def _score_oracle_slab(slab, log, pad_quantum: int = 8000):
 def evaluate_oracle(data_dir: str, hard_mask: bool = False,
                     cfg: STFTConfig = STFTConfig(),
                     job_suffix: str = "", device: bool = False,
+                    data_parallel: bool = False,
                     slab: int = 32, log=print) -> None:
     """device=True scores slab-wise on the accelerator (two-float
     BSS-eval, eval/bss_eval_jax.py) instead of per-utterance host f64 —
     the fast path for large sets, same trust-gated fallback as
-    evaluate_sources."""
+    evaluate_sources. data_parallel=True additionally shards each slab
+    over all visible devices (per-utterance metric, zero collectives)."""
     kind = "hard" if hard_mask else "soft"
     dir_out = os.path.join(data_dir, f"oracle_{kind}_mask_eval")
     os.makedirs(dir_out, exist_ok=True)
@@ -115,6 +118,11 @@ def evaluate_oracle(data_dir: str, hard_mask: bool = False,
     source_files = {m: open(os.path.join(dir_out, f"source_{m}s.txt" + job_suffix), "w")
                     for m in ("SDR", "SIR", "SAR")}
 
+    mesh = None
+    if device and data_parallel:
+        from ..parallel.mesh import data_parallel_mesh
+        mesh = data_parallel_mesh(log)
+
     pending: list = []   # device mode: [(seg_id, oracle, est)] up to slab
 
     def emit(seg_id, num_src, sdr, sir, sar):
@@ -126,7 +134,7 @@ def evaluate_oracle(data_dir: str, hard_mask: bool = False,
     def flush():
         if not pending:
             return
-        results = _score_oracle_slab(pending, log)
+        results = _score_oracle_slab(pending, log, mesh=mesh)
         for sid, oracle, _est in pending:
             sdr, sir, sar = results[sid]
             emit(sid, oracle.shape[0], sdr, sir, sar)

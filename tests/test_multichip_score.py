@@ -95,3 +95,41 @@ def test_evaluate_sources_data_parallel(tmp_path):
                             data_parallel=True, log=logs.append)
     for k in m_dev:
         assert abs(m_dev[k] - m_dp[k]) < 1e-3, (k, m_dev[k], m_dp[k])
+
+
+def test_oracle_data_parallel_matches_single(tmp_path):
+    """Oracle device scoring with data_parallel=True writes the same
+    result files as the single-device device path."""
+    import os
+    from speech_separation_tpu.dsp.stft import STFTConfig
+    from speech_separation_tpu.eval.oracle import evaluate_oracle
+    from speech_separation_tpu.utils.audio import write_wav_int16
+
+    refs, _ = _cases(B=4, L=3000)
+    for which in ("a", "b"):
+        d = tmp_path / which
+        (d / "corpus" / "mix").mkdir(parents=True)
+        with open(d / "wav.scp", "w") as scp:
+            for b in range(4):
+                mp = str(d / "corpus" / "mix" / f"u{b}.wav")
+                write_wav_int16(mp, 8000, refs[b].sum(axis=0))
+                for s in range(2):
+                    sd = d / "corpus" / f"s{s + 1}"
+                    sd.mkdir(exist_ok=True)
+                    write_wav_int16(str(sd / f"u{b}.wav"), 8000, refs[b, s])
+                scp.write(f"u{b} {mp}\n")
+
+    logs = []
+    evaluate_oracle(str(tmp_path / "a"), device=True, log=logs.append)
+    evaluate_oracle(str(tmp_path / "b"), device=True, data_parallel=True,
+                    log=logs.append)
+    for fn in ("session_SDRs.txt", "source_SDRs.txt"):
+        one = open(tmp_path / "a" / "oracle_soft_mask_eval" / fn).read()
+        two = open(tmp_path / "b" / "oracle_soft_mask_eval" / fn).read()
+        a_vals = [float(x) for line in one.splitlines()
+                  for x in line.split()[1:]]
+        b_vals = [float(x) for line in two.splitlines()
+                  for x in line.split()[1:]]
+        assert len(a_vals) == len(b_vals) > 0
+        for va, vb in zip(a_vals, b_vals):
+            assert abs(va - vb) < 1e-3
