@@ -27,12 +27,12 @@ def bench_train_step(B=100, T=384, iters=20, compute_dtype="bfloat16",
                      arch_name="uPIT"):
     import jax
     import jax.numpy as jnp
-    from speech_separation_tpu.models import rsh, upit
+    from speech_separation_tpu.models.registry import get_arch
     from speech_separation_tpu.train.loop import (TrainLoopConfig,
                                                   make_optimizer,
                                                   make_update_step)
 
-    arch = upit if arch_name == "uPIT" else rsh
+    arch = get_arch(arch_name)
     cfg = arch.Config(compute_dtype=compute_dtype)
     params, state = arch.init(jax.random.PRNGKey(0), cfg)
     optimizer = make_optimizer(TrainLoopConfig())
@@ -229,7 +229,11 @@ def main():
     # S sequential extraction passes + greedy assignment + backward
     _phase(f"b128 done: {train_b128['step_ms']:.1f} ms; RSH next")
     train_rsh = bench_train_step(iters=10, arch_name="RSH")
-    _phase(f"RSH done: {train_rsh['step_ms']:.1f} ms; dsp next")
+    # the beyond-reference TCN at matched (~13M) params: no recurrence,
+    # pure MXU matmuls/convs — the framework-native arch's throughput
+    _phase(f"RSH done: {train_rsh['step_ms']:.1f} ms; TCN next")
+    train_tcn = bench_train_step(iters=10, arch_name="TCN")
+    _phase(f"TCN done: {train_tcn['step_ms']:.1f} ms; dsp next")
     dsp_res = bench_dsp_bandwidth()
     _phase("dsp done; serving next")
     serve_res = bench_serving()
@@ -249,6 +253,8 @@ def main():
             "b128_utts_per_sec": round(train_b128["utts_per_sec"], 2),
             "rsh_utts_per_sec": round(train_rsh["utts_per_sec"], 2),
             "rsh_step_ms": round(train_rsh["step_ms"], 2),
+            "tcn_utts_per_sec": round(train_tcn["utts_per_sec"], 2),
+            "tcn_step_ms": round(train_tcn["step_ms"], 2),
             "baseline_utts_per_sec": baseline_utts,
             "baseline_hw": "torch-CPU (reference semantics; no GPU here, no published numbers)",
             "dsp_roundtrip_gb_per_sec": round(dsp_res["gb_per_sec"], 2),

@@ -19,9 +19,9 @@ from __future__ import annotations
 
 import importlib
 
-from . import upit, rsh
+from . import upit, rsh, tcn
 
-ARCHS = {"uPIT": upit, "RSH": rsh}
+ARCHS = {"uPIT": upit, "RSH": rsh, "TCN": tcn}
 
 
 def register(name: str, module) -> None:

@@ -1,0 +1,211 @@
+"""TCN architecture: dilated temporal-convolution mask estimation.
+
+A beyond-reference third architecture (the reference ships uPIT + RSH,
+archs/*.py) demonstrating that the plugin contract (models/registry.py)
+is a real extension point — and that this framework's TPU-first design
+pays off: unlike the BLSTMs, a TCN has **no serial recurrence**, so every
+FLOP is a batched matmul/conv the MXU can tile freely. The separator is
+the Conv-TasNet masking stack (Luo & Mesgarani, 2019) applied to STFT
+magnitudes, so it drops into the exact uPIT pipeline — same batch layout,
+same PIT loss and normalization (ops/pit.py, reference archs/uPIT.py:
+157-206 semantics), same (B, T, S*F) sigmoid-mask head contract — and
+therefore the same extraction, training, inference, reconstruction,
+scoring, serving, and data-parallel paths, unchanged.
+
+  model: 1x1 input projection (F -> channels) -> R repeats of X residual
+         blocks (1x1 -> PReLU -> cLN -> depthwise dilated conv, dilation
+         2^i -> PReLU -> cLN -> 1x1 residual + 1x1 skip) -> PReLU over the
+         summed skips -> 1x1 head (-> S*F) -> sigmoid.
+  loss:  identical to uPIT (min over speaker permutations of summed MSE
+         between masked mixture and permuted sources, same norm).
+  infer: same forward, eval mode == train mode (no batch statistics).
+
+Design properties (deliberate differences from the reference BLSTMs):
+- **Padding invariance**: frames past each row's true length are zeroed
+  after the input projection and after every block, so outputs for an
+  utterance are bit-identical regardless of how much padding its batch
+  carries (the BLSTMs' padded BatchNorm is batch-dependent by reference
+  fidelity; this arch is new, so it gets the clean semantics). Pinned by
+  tests/test_tcn.py.
+- **Normalization is per-frame (cLN)**, not batch: no running statistics,
+  no train/eval divergence, nothing to carry in ``state``.
+- All 1x1 convolutions run as (B*T, C) matmuls in the configured MXU
+  dtype with float32 accumulation; the depthwise conv is a cheap VPU op.
+
+Batch layout (device): identical to uPIT —
+  mix      (B, T, F)    zero-padded magnitude spectra
+  sources  (B, S, T, F) zero-padded source magnitudes
+  lengths  (B,) int32   true frame counts
+  row_mask (B,) f32     1.0 for real rows, 0.0 for shape-padding dummies
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .upit import _coerce_kwargs
+from ..ops.mxu import head_dot
+from ..ops.pit import pairwise_mse, permutation_min_loss
+
+NAME = "TCN"
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    feat_dim: int = 257
+    num_spk: int = 2
+    channels: int = 256      # residual path width (Conv-TasNet B)
+    hidden: int = 512        # block inner width (Conv-TasNet H)
+    kernel: int = 3          # depthwise kernel size (P)
+    blocks: int = 8          # dilated blocks per repeat (X): dilation 2^i
+    repeats: int = 4         # repeats (R); defaults land ~13.2M params,
+    # matching the reference BLSTM scale for throughput comparability
+    compute_dtype: str = "float32"  # "bfloat16" = the MXU perf path
+    remat: bool = False
+
+    @classmethod
+    def from_kwargs(cls, **kwargs):
+        return cls(**_coerce_kwargs(cls, kwargs))
+
+    @property
+    def mxu_dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+
+def _linear_init(key, n_in, n_out):
+    kb = 1.0 / np.sqrt(n_in)
+    kw, kbias = jax.random.split(key)
+    return {"w": jax.random.uniform(kw, (n_in, n_out), jnp.float32, -kb, kb),
+            "b": jax.random.uniform(kbias, (n_out,), jnp.float32, -kb, kb)}
+
+
+def _cln_init(dim):
+    return {"g": jnp.ones((dim,), jnp.float32),
+            "b": jnp.zeros((dim,), jnp.float32)}
+
+
+def init(key, cfg: Config):
+    keys = jax.random.split(key, 2 + cfg.repeats * cfg.blocks)
+    params = {
+        "in_proj": _linear_init(keys[0], cfg.feat_dim, cfg.channels),
+        "in_ln": _cln_init(cfg.feat_dim),
+        "head": _linear_init(keys[1], cfg.channels,
+                             cfg.feat_dim * cfg.num_spk),
+        "head_prelu": jnp.full((cfg.channels,), 0.25, jnp.float32),
+        "blocks": [],
+    }
+    for r in range(cfg.repeats):
+        for x in range(cfg.blocks):
+            k = keys[2 + r * cfg.blocks + x]
+            k1, k2, k3, k4, k5 = jax.random.split(k, 5)
+            kd = 1.0 / np.sqrt(cfg.kernel)
+            params["blocks"].append({
+                "expand": _linear_init(k1, cfg.channels, cfg.hidden),
+                "prelu1": jnp.full((cfg.hidden,), 0.25, jnp.float32),
+                "ln1": _cln_init(cfg.hidden),
+                # depthwise kernel: (K, H), centered (non-causal)
+                "dw": jax.random.uniform(k2, (cfg.kernel, cfg.hidden),
+                                         jnp.float32, -kd, kd),
+                "dw_b": jax.random.uniform(k3, (cfg.hidden,), jnp.float32,
+                                           -kd, kd),
+                "prelu2": jnp.full((cfg.hidden,), 0.25, jnp.float32),
+                "ln2": _cln_init(cfg.hidden),
+                "res": _linear_init(k4, cfg.hidden, cfg.channels),
+                "skip": _linear_init(k5, cfg.hidden, cfg.channels),
+            })
+    return params, {}
+
+
+def _dot(x, lin, dtype):
+    """1x1 conv as a batched matmul in the MXU dtype, f32 accumulation."""
+    return head_dot(x, lin["w"], dtype) + lin["b"]
+
+
+def _prelu(x, alpha):
+    return jnp.where(x >= 0, x, x * alpha)
+
+
+def _cln(x, p, eps=1e-6):
+    """Per-frame (channelwise) layer norm — no batch statistics, so eval
+    mode == train mode and padding rows cannot leak into real rows."""
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["g"] + p["b"]
+
+
+def _depthwise(x, kernel, bias, dilation: int):
+    """Centered depthwise dilated conv over time. x (B, T, H), kernel
+    (K, H). SAME padding: (K-1)//2 * dilation each side."""
+    K = kernel.shape[0]
+    pad = (K - 1) // 2 * dilation
+    y = jax.lax.conv_general_dilated(
+        x, kernel[:, None, :],                    # (K, 1, H) = (spatial, in/group, out)
+        window_strides=(1,), padding=[(pad, pad)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=x.shape[-1])
+    return y + bias
+
+
+def forward(cfg: Config, params, state, x, lengths, row_mask, rng,
+            train: bool):
+    """Returns (masks, state) with masks (B, T, feat_dim*num_spk) — the
+    uPIT head contract (source s occupies [s*F:(s+1)*F]). ``rng``/``train``
+    are accepted for the plugin contract; the forward is deterministic and
+    mode-free."""
+    B, T, F = x.shape
+    tmask = (jnp.arange(T)[None, :] < lengths[:, None]
+             ).astype(jnp.float32)[:, :, None]
+    h = _dot(_cln(x, params["in_ln"]), params["in_proj"], cfg.mxu_dtype)
+    h = h * tmask
+    for i, blk in enumerate(params["blocks"]):
+        dilation = 2 ** (i % cfg.blocks)
+        y = _dot(h, blk["expand"], cfg.mxu_dtype)
+        # mask before the depthwise conv: pad frames otherwise carry
+        # bias/LN constants into real frames' conv windows, which would
+        # differ from the conv's own zero padding at the T boundary and
+        # break padding invariance
+        y = _cln(_prelu(y, blk["prelu1"]), blk["ln1"]) * tmask
+        y = _depthwise(y, blk["dw"], blk["dw_b"], dilation)
+        y = _cln(_prelu(y, blk["prelu2"]), blk["ln2"])
+        # residual continues the trunk; skips accumulate toward the head
+        h = (h + _dot(y, blk["res"], cfg.mxu_dtype)) * tmask
+        s = _dot(y, blk["skip"], cfg.mxu_dtype) * tmask
+        skips = s if i == 0 else skips + s
+    out = _dot(_prelu(skips, params["head_prelu"]), params["head"],
+               cfg.mxu_dtype)
+    return jax.nn.sigmoid(out) * tmask, state
+
+
+def loss_fn(cfg: Config, params, state, batch, rng, train: bool):
+    """Identical objective and normalization to uPIT (models/upit.py:136,
+    reference archs/uPIT.py:157-206): aux carries the same keys the train
+    loop and plot hooks consume."""
+    mix, sources = batch["mix"], batch["sources"]
+    lengths, row_mask = batch["lengths"], batch["row_mask"]
+    B, T, F = mix.shape
+
+    fwd = forward
+    if cfg.remat:
+        fwd = jax.checkpoint(forward, static_argnums=(0, 7))
+    masks, new_state = fwd(cfg, params, state, mix, lengths, row_mask, rng,
+                           train)
+    masked = masks.reshape(B, T, cfg.num_spk, F) * mix[:, :, None, :]
+    pair = pairwise_mse(masked, sources)
+    min_losses, best_perm = permutation_min_loss(pair, cfg.num_spk)
+
+    total = jnp.sum(min_losses * row_mask) / cfg.num_spk
+    norm = jnp.sum(lengths.astype(jnp.float32) * row_mask) * cfg.feat_dim
+    return total / norm, {"norm": norm, "total": total,
+                          "new_state": new_state, "best_perm": best_perm,
+                          "masked": masked}
+
+
+def infer_masks(cfg: Config, params, state, batch, rng):
+    masks, _ = forward(cfg, params, state, batch["mix"], batch["lengths"],
+                       batch["row_mask"], rng, train=False)
+    return masks

@@ -589,7 +589,8 @@ def _plot_cv_batch(arch, model_cfg, params, state, dev_batch, rng, plotdir):
         loss, aux = arch.loss_fn(model_cfg, params, state, dev_batch, rng, False)
         mix = np.asarray(dev_batch["mix"][0])
         plot_spec(mix, os.path.join(plotdir, "Mixture.png"))
-        if arch.NAME == "uPIT":
+        if arch.NAME != "RSH":
+            # uPIT-contract archs (uPIT, TCN): aux carries masked/best_perm
             masked = np.asarray(aux["masked"][0])  # (T, S, F)
             T, S, F = masked.shape
             plot_spec(masked.reshape(T, S * F),
