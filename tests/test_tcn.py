@@ -160,3 +160,24 @@ def test_train_loop_to_pipeline(tmp_path):
     tracks = pipe.separate([
         (0.05 * rng.standard_normal(7000)).astype(np.float32)])[0]
     assert len(tracks) == 2 and all(np.all(np.isfinite(t)) for t in tracks)
+
+
+def test_depthwise_matches_numpy_reference():
+    """The grouped-conv dimension numbers are easy to get wrong; pin the
+    depthwise dilated conv against a literal per-channel cross-correlation."""
+    from speech_separation_tpu.models.tcn import _depthwise
+    rng = np.random.default_rng(0)
+    B, T, H, K, d = 2, 12, 3, 3, 2
+    x = rng.standard_normal((B, T, H)).astype(np.float32)
+    k = rng.standard_normal((K, H)).astype(np.float32)
+    b = rng.standard_normal((H,)).astype(np.float32)
+    y = np.asarray(_depthwise(jnp.asarray(x), jnp.asarray(k),
+                              jnp.asarray(b), d))
+    pad = (K - 1) // 2 * d
+    ref = np.zeros_like(x)
+    xp = np.pad(x, ((0, 0), (pad, pad), (0, 0)))
+    for t in range(T):
+        for j in range(K):
+            ref[:, t, :] += xp[:, t + j * d, :] * k[j]
+    ref += b
+    np.testing.assert_allclose(y, ref, atol=1e-5)
