@@ -195,6 +195,31 @@ def test_serve_parser_and_separate_server_flag():
     assert args.server == "/tmp/s.sock"
 
 
+def test_long_form_request_matches_direct_pipeline(served):
+    """The server's long-form path (windowing + permutation alignment +
+    crossfade inside _run_long_form) must produce byte-identical wavs to a
+    direct separate_long call on the same checkpoint."""
+    out_dir = str(served["root"] / "out_long")
+    wav = served["wavs"][0]  # 7000 samples = several 0.5 s windows
+    r = request(served["socket"],
+                {"wavs": [wav], "out_dir": out_dir, "long_form": True,
+                 "window_sec": 0.5, "overlap_sec": 0.1})
+    assert r["ok"], r
+    paths = r["outputs"][wav]
+    assert len(paths) == 2
+
+    pipe = SeparationPipeline(served["model"], model_kwargs=KW, batch_size=4,
+                              length_quantum=4096)
+    x, _ = load_wav(wav, sr=SR)
+    direct = pipe.separate_long(x, window_sec=0.5, overlap_sec=0.1)
+    assert len(direct[0]) == len(x)  # full coverage, no silent tail
+    for path, est in zip(paths, direct):
+        ref_path = str(served["root"] / "ref_long.wav")
+        write_wav_int16(ref_path, SR, est)
+        with open(path, "rb") as a, open(ref_path, "rb") as b:
+            assert a.read() == b.read()
+
+
 def test_shutdown_removes_socket(served):
     """Run last: shutdown via the protocol, server thread exits, socket
     file is unlinked."""
@@ -233,28 +258,3 @@ def test_request_queued_during_shutdown_still_gets_a_reply(served, tmp_path):
     reply = srv._dispatch({"wavs": [served["wavs"][0]],
                            "out_dir": str(tmp_path)})
     assert reply == {"ok": False, "error": "server shutting down"}
-
-
-def test_long_form_request_matches_direct_pipeline(served):
-    """The server's long-form path (windowing + permutation alignment +
-    crossfade inside _run_long_form) must produce byte-identical wavs to a
-    direct separate_long call on the same checkpoint."""
-    out_dir = str(served["root"] / "out_long")
-    wav = served["wavs"][0]  # 7000 samples = several 0.5 s windows
-    r = request(served["socket"],
-                {"wavs": [wav], "out_dir": out_dir, "long_form": True,
-                 "window_sec": 0.5, "overlap_sec": 0.1})
-    assert r["ok"], r
-    paths = r["outputs"][wav]
-    assert len(paths) == 2
-
-    pipe = SeparationPipeline(served["model"], model_kwargs=KW, batch_size=4,
-                              length_quantum=4096)
-    x, _ = load_wav(wav, sr=SR)
-    direct = pipe.separate_long(x, window_sec=0.5, overlap_sec=0.1)
-    assert len(direct[0]) == len(x)  # full coverage, no silent tail
-    for path, est in zip(paths, direct):
-        ref_path = str(served["root"] / "ref_long.wav")
-        write_wav_int16(ref_path, SR, est)
-        with open(path, "rb") as a, open(ref_path, "rb") as b:
-            assert a.read() == b.read()
