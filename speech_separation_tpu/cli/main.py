@@ -266,6 +266,18 @@ def cmd_serve(args):
                               mesh=_data_mesh(args))
     server = SeparationServer(pipe, args.socket_path,
                               coalesce=args.coalesce)
+    # daemon managers stop services with SIGTERM, which would otherwise
+    # kill the process without draining in-flight requests or removing
+    # the socket file; route it (and Ctrl-C) through the clean shutdown
+    import signal
+
+    def _stop(signum, _frame):
+        print(f"signal {signal.Signals(signum).name}: shutting down",
+              flush=True)
+        server.shutdown()
+
+    signal.signal(signal.SIGTERM, _stop)
+    signal.signal(signal.SIGINT, _stop)
     if args.warmup_sec:
         n = server.warmup([float(s) for s in args.warmup_sec.split(",")])
         print(f"warmup: {n} shape buckets compiled", flush=True)
