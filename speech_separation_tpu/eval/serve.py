@@ -118,6 +118,10 @@ class SeparationServer:
         self._stop = threading.Event()
         self._started = time.monotonic()
         self._served = 0
+        # end-to-end request latencies (queue wait + device + writes),
+        # last 512, for ping's percentile report (GIL-atomic appends)
+        from collections import deque
+        self._latencies: "deque[float]" = deque(maxlen=512)
         self._listener: socket.socket | None = None
         self._worker_thread: threading.Thread | None = None
 
@@ -218,10 +222,20 @@ class SeparationServer:
     def _dispatch(self, payload: dict) -> dict:
         cmd = payload.get("cmd")
         if cmd == "ping":
-            return {"ok": True,
-                    "uptime_s": round(time.monotonic() - self._started, 3),
-                    "served": self._served,
-                    "compiled_buckets": len(self.pipe._fns)}
+            reply = {"ok": True,
+                     "uptime_s": round(time.monotonic() - self._started, 3),
+                     "served": self._served,
+                     "compiled_buckets": len(self.pipe._fns)}
+            if self._latencies:
+                lats = sorted(self._latencies)
+                pick = lambda q: lats[min(len(lats) - 1,
+                                          int(q * (len(lats) - 1) + 0.5))]
+                reply["latency_ms"] = {
+                    "n": len(lats),
+                    "p50": round(pick(0.50) * 1e3, 2),
+                    "p99": round(pick(0.99) * 1e3, 2),
+                    "max": round(lats[-1] * 1e3, 2)}
+            return reply
         if cmd == "shutdown":
             self.shutdown()
             return {"ok": True}
@@ -241,6 +255,7 @@ class SeparationServer:
         if self._stop.is_set():
             return {"ok": False, "error": "server shutting down"}
         pending = _Pending({**payload, "lengths": lengths})
+        t0 = time.monotonic()
         self._queue.put(pending)
         if self._stop.is_set():
             # shutdown may have drained the queue between the check above
@@ -248,6 +263,8 @@ class SeparationServer:
             # again ourselves (idempotent; a no-op if the worker took it).
             self._drain_queue()
         pending.event.wait()
+        if pending.reply.get("ok"):
+            self._latencies.append(time.monotonic() - t0)
         return pending.reply
 
     # ---------------------------------------------------------------- worker

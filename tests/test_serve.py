@@ -68,6 +68,17 @@ def test_ping(served):
     assert r["ok"] and r["served"] >= 0 and "uptime_s" in r
 
 
+def test_ping_latency_percentiles(served):
+    """After at least one served request, ping reports end-to-end latency
+    percentiles (p50 <= p99 <= max, all positive)."""
+    out = str(served["root"] / "out_lat")
+    assert request(served["socket"],
+                   {"wavs": served["wavs"][:1], "out_dir": out})["ok"]
+    lat = request(served["socket"], {"cmd": "ping"}).get("latency_ms")
+    assert lat and lat["n"] >= 1
+    assert 0 < lat["p50"] <= lat["p99"] <= lat["max"]
+
+
 def test_separate_request_matches_direct_pipeline(served):
     out_dir = str(served["root"] / "out_req")
     r = request(served["socket"],
