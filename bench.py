@@ -176,7 +176,10 @@ def wait_for_healthy_backend(max_wait_s: float | None = None,
             "metric": "uPIT train throughput (backend unreachable)",
             "value": 0, "unit": "utts/sec/chip", "vs_baseline": None,
             "detail": {"error": "TPU backend init hung/degraded for "
-                                f"{max_wait_s:.0f}s; no measurement possible"},
+                                f"{max_wait_s:.0f}s; no measurement possible",
+                       "last_healthy_measurement":
+                           "BENCH_r02.json: 2557 utts/sec/chip "
+                           "(39.1 ms step, bf16+Pallas, B=100/T=384)"},
         }))
         raise SystemExit(1)
     # the child released the (single-client) tunnel before returning;
