@@ -163,6 +163,15 @@ class SeparationPipeline:
 
         scfg = self.stft_cfg
         S = num_spk or self.num_spk
+        model_S = getattr(self.cfg, "num_spk", S)
+        if self.arch.NAME != "RSH" and S != model_S:
+            # fixed-head archs (uPIT/TCN) emit exactly cfg.num_spk masks;
+            # only RSH's iterative extraction takes a per-call count.
+            # Fail with intent, not a reshape-size TypeError from inside jit
+            raise ValueError(
+                f"this {self.arch.NAME} model separates exactly {model_S} "
+                f"speakers (num_spk={S} requested); per-request speaker "
+                "counts need an RSH model")
         pad_batches = pad_batches or self.mesh is not None
         order = sorted(range(len(lengths)), key=lambda i: lengths[i])
         groups = [order[s: s + self.batch_size]

@@ -323,3 +323,15 @@ def test_rsh_fused_pipeline_and_stream(tmp_path):
     for r, g in zip(ref, got):
         for a, b in zip(r, g):
             np.testing.assert_array_equal(a, b)
+
+
+def test_fixed_head_arch_rejects_foreign_num_spk(tiny_model):
+    """uPIT/TCN emit exactly cfg.num_spk masks; asking the pipeline for a
+    different count must fail with a clear error, not a reshape TypeError
+    from inside jit."""
+    model_path = tiny_model[0]
+    kwargs = {"hidden": "16", "num_layers": "1", "zero_init_hidden": "1"}
+    pipe = SeparationPipeline(model_path, model_kwargs=kwargs,
+                              batch_size=2, length_quantum=4096)
+    with pytest.raises(ValueError, match="separates exactly 2"):
+        pipe.separate([np.zeros(4000, np.float32)], num_spk=3)
