@@ -148,12 +148,12 @@ def wait_for_healthy_backend(max_wait_s: float | None = None,
     probe_src = ("import time,jax,jax.numpy as jnp;t=time.time();"
                  "float(jnp.ones((8,8)).sum());print(time.time()-t)")
     t_start = time.time()
-    latency = float("inf")
+    latency = float("inf")  # inf = probe never completed (hung at init)
     while True:
         try:
             r = subprocess.run([sys.executable, "-c", probe_src],
                                capture_output=True, text=True,
-                               timeout=probe_budget_s + 60)
+                               timeout=max(probe_budget_s * 3, 90))
             latency = (float(r.stdout.strip().splitlines()[-1])
                        if r.returncode == 0 else float("inf"))
         except (subprocess.TimeoutExpired, ValueError, IndexError):
@@ -161,27 +161,31 @@ def wait_for_healthy_backend(max_wait_s: float | None = None,
         if latency < probe_budget_s:
             break
         if time.time() - t_start > max_wait_s:
-            print(f"# bench: backend still degraded after {max_wait_s:.0f}s "
-                  f"(trivial-op latency {latency:.0f}s) — numbers below are "
-                  "NOT steady-state hardware numbers", file=sys.stderr,
-                  flush=True)
             break
-        print(f"# bench: backend degraded (trivial op {latency:.0f}s); "
-              "waiting for a healthy window", file=sys.stderr, flush=True)
+        desc = ("hung (no init)" if latency == float("inf")
+                else f"slow ({latency:.0f}s/op)")
+        print(f"# bench: backend {desc}; waiting for a healthy window",
+              file=sys.stderr, flush=True)
         time.sleep(60)
     if latency == float("inf"):
-        # backend init is hung: an in-process attempt would block forever
-        # and produce NO output at all — report the outage explicitly
+        # backend init is HUNG: an in-process attempt would block forever
+        # and produce NO output at all — report the outage explicitly.
+        # (A merely-slow backend takes the measure-anyway path below.)
         print(json.dumps({
             "metric": "uPIT train throughput (backend unreachable)",
             "value": 0, "unit": "utts/sec/chip", "vs_baseline": None,
-            "detail": {"error": "TPU backend init hung/degraded for "
+            "detail": {"error": "TPU backend init hung for "
                                 f"{max_wait_s:.0f}s; no measurement possible",
                        "last_healthy_measurement":
                            "BENCH_r02.json: 2557 utts/sec/chip "
                            "(39.1 ms step, bf16+Pallas, B=100/T=384)"},
         }))
         raise SystemExit(1)
+    if latency >= probe_budget_s:
+        # dispatch works but is degraded: measure anyway, flagged
+        print(f"# bench: backend still slow after {max_wait_s:.0f}s "
+              f"(trivial op {latency:.0f}s) — numbers below are NOT "
+              "steady-state hardware numbers", file=sys.stderr, flush=True)
     # the child released the (single-client) tunnel before returning;
     # init in-process now and fold the real dispatch latency in
     t0 = time.time()

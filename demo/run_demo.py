@@ -15,23 +15,8 @@ from speech_separation_tpu.eval import (generate_masks, reconstruct_sources,
 from speech_separation_tpu.utils.synthetic import make_synthetic_corpus, write_id_list
 
 t_all = time.time()
-if not os.path.isfile("data/syn_tt/feats_test.scp"):
-    print("== corpus ==", flush=True)
-    ids_tr = make_synthetic_corpus("corpus/tr", 256, seed=0, min_sec=0.8, max_sec=1.6, prefix="tr")
-    ids_cv = make_synthetic_corpus("corpus/cv", 32, seed=1, min_sec=0.8, max_sec=1.6, prefix="cv")
-    ids_tt = make_synthetic_corpus("corpus/tt", 32, seed=2, min_sec=0.8, max_sec=1.6, prefix="tt")
-    write_id_list("id_lists", "syn_tr", ids_tr)
-    write_id_list("id_lists", "syn_cv", ids_cv)
-    write_id_list("id_lists", "syn_tt", ids_tt)
-    reg = DatasetRegistry({"syn_tr": "corpus/tr", "syn_cv": "corpus/cv", "syn_tt": "corpus/tt"})
-    for ds in ("syn_tr", "syn_cv", "syn_tt"):
-        prepare_data_dir(ds, reg)
-
-    print("== features ==", flush=True)
-    cfg = STFTConfig()
-    extract_features("data/syn_tr", "train", "feats/syn_tr_train", cfg, compress=False)
-    extract_features("data/syn_cv", "train", "feats/syn_cv_train", cfg, compress=False)
-    extract_features("data/syn_tt", "test", "feats/syn_tt_test", cfg, compress=False)
+from demo_corpus import ensure_demo_corpus
+ensure_demo_corpus()
 
 # resume from the latest intermediate checkpoint (transient device failures
 # through the tunnel are expected; this is what checkpoint/resume is for)

@@ -13,37 +13,8 @@ from speech_separation_tpu.eval import (generate_masks, reconstruct_sources,
                                         evaluate_sources)
 
 t_all = time.time()
-if not os.path.isfile("data/syn_tt/feats_test.scp"):
-    # rebuild the exact corpus run_demo.py uses (same seeds/params — the
-    # generator is deterministic, so results stay comparable with the
-    # uPIT/RSH sections in RESULTS.md)
-    from speech_separation_tpu.datadir import DatasetRegistry, prepare_data_dir
-    from speech_separation_tpu.dsp import STFTConfig
-    from speech_separation_tpu.dsp.extract import extract_features
-    from speech_separation_tpu.utils.synthetic import (make_synthetic_corpus,
-                                                       write_id_list)
-    print("== corpus ==", flush=True)
-    ids_tr = make_synthetic_corpus("corpus/tr", 256, seed=0, min_sec=0.8,
-                                   max_sec=1.6, prefix="tr")
-    ids_cv = make_synthetic_corpus("corpus/cv", 32, seed=1, min_sec=0.8,
-                                   max_sec=1.6, prefix="cv")
-    ids_tt = make_synthetic_corpus("corpus/tt", 32, seed=2, min_sec=0.8,
-                                   max_sec=1.6, prefix="tt")
-    write_id_list("id_lists", "syn_tr", ids_tr)
-    write_id_list("id_lists", "syn_cv", ids_cv)
-    write_id_list("id_lists", "syn_tt", ids_tt)
-    reg = DatasetRegistry({"syn_tr": "corpus/tr", "syn_cv": "corpus/cv",
-                           "syn_tt": "corpus/tt"})
-    for ds in ("syn_tr", "syn_cv", "syn_tt"):
-        prepare_data_dir(ds, reg)
-    print("== features ==", flush=True)
-    cfg = STFTConfig()
-    extract_features("data/syn_tr", "train", "feats/syn_tr_train", cfg,
-                     compress=False)
-    extract_features("data/syn_cv", "train", "feats/syn_cv_train", cfg,
-                     compress=False)
-    extract_features("data/syn_tt", "test", "feats/syn_tt_test", cfg,
-                     compress=False)
+from demo_corpus import ensure_demo_corpus, replace_results_section
+ensure_demo_corpus()
 
 start_epoch = 0
 int_dir = "exp/TCN_syn_tr/intermediate_models"
@@ -86,7 +57,7 @@ for m in ("SDR", "SIR", "SAR", "SI-SDR", "SI-SDRi"):
 section.append(f"\nTrain wall: {train_wall:.0f}s "
                f"({out['utts_per_sec']:.1f} utts/sec incl. host pipeline + "
                f"compiles).\n")
-with open("RESULTS.md", "a") as f:
-    f.writelines(section)
+replace_results_section(
+    "## TCN (recurrence-free, beyond reference) on the same corpus", section)
 print(json.dumps({"means": means, "train_wall_s": train_wall}))
 print(f"total wall: {time.time()-t_all:.0f}s", flush=True)

@@ -398,13 +398,27 @@ def cmd_doctor(args):
         r = subprocess.run([sys.executable, "-c", probe_src],
                            capture_output=True, text=True,
                            timeout=args.probe_timeout)
-        if r.returncode == 0 and r.stdout.strip():
-            plat, kind, n, lat = r.stdout.strip().splitlines()[-1].split()
+        # find the probe's own report line (other lines may be plugin
+        # banners); a parse failure must yield a diagnosis, not a traceback
+        report = None
+        if r.returncode == 0:
+            for line in reversed((r.stdout or "").strip().splitlines()):
+                parts = line.split()
+                if len(parts) == 4:
+                    try:
+                        float(parts[3])
+                    except ValueError:
+                        continue
+                    report = parts
+                    break
+        if report:
+            plat, kind, n, lat = report
             print(f"backend: {plat} ({kind}), {n} device(s), "
                   f"trivial-op latency {lat}s (incl. init)")
         else:
             ok = False
-            tail = (r.stderr or "").strip().splitlines()[-1:]
+            tail = ((r.stderr or "").strip().splitlines()
+                    or (r.stdout or "").strip().splitlines())[-1:]
             print(f"backend: PROBE FAILED (exit {r.returncode})"
                   + (f" — {tail[0]}" if tail else ""))
     except subprocess.TimeoutExpired:
@@ -417,11 +431,14 @@ def cmd_doctor(args):
     print("native io (libsepio.so): "
           + ("loaded" if _load_library() is not None else
              "unavailable (pure-Python fallback active; make -C native)"))
-    d = (os.environ.get("SEPSEP_COMPILE_CACHE", "")
-         or os.path.join(os.path.expanduser("~"), ".cache",
-                         "sepsep_jax_cache"))
-    n = len(os.listdir(d)) if os.path.isdir(d) else 0
-    print(f"compile cache: {d} ({n} entries)")
+    env_cache = os.environ.get("SEPSEP_COMPILE_CACHE", "")
+    if env_cache.lower() in ("0", "off", "none"):
+        print(f"compile cache: disabled (SEPSEP_COMPILE_CACHE={env_cache})")
+    else:
+        d = env_cache or os.path.join(os.path.expanduser("~"), ".cache",
+                                      "sepsep_jax_cache")
+        n = len(os.listdir(d)) if os.path.isdir(d) else 0
+        print(f"compile cache: {d} ({n} entries)")
     if not ok:
         raise SystemExit(1)
 

@@ -199,12 +199,14 @@ def _score_device(jobs, log, slab: int = 64, pad_quantum: int = 8000,
             refs, ests = pack_slabs(cases, num_src)
             t_pack += _time.monotonic() - t0
             t0 = _time.monotonic()
-            # pad_to_chunk: the final slab of a group is usually smaller
-            # than one device chunk; padding it to chunk size reuses the
-            # warm executable instead of compiling an exact-shape program
+            # pad_to_chunk: a slab smaller than one device chunk (the tail
+            # of a group) row-pads to chunk size and reuses the warm
+            # executable instead of compiling an exact-shape program. In
+            # the per-slab-length regime the pad quantum makes slab shapes
+            # recur, so this helps there too; worst case it wastes a few
+            # padded rows, never a compile
             sdr, sir, sar, perm = bss_eval_sources_batch(
-                refs, ests, mesh=mesh,
-                pad_to_chunk=global_pad is not None)
+                refs, ests, mesh=mesh, pad_to_chunk=True)
             dt = _time.monotonic() - t0
             t_dev += dt
             if t_dev_first is None:

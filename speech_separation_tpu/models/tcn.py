@@ -49,7 +49,6 @@ import numpy as np
 
 from .upit import _coerce_kwargs
 from ..ops.mxu import head_dot
-from ..ops.pit import pairwise_mse, permutation_min_loss
 
 NAME = "TCN"
 
@@ -182,30 +181,13 @@ def forward(cfg: Config, params, state, x, lengths, row_mask, rng,
 
 
 def loss_fn(cfg: Config, params, state, batch, rng, train: bool):
-    """Identical objective and normalization to uPIT (models/upit.py:136,
-    reference archs/uPIT.py:157-206): aux carries the same keys the train
-    loop and plot hooks consume."""
-    mix, sources = batch["mix"], batch["sources"]
-    lengths, row_mask = batch["lengths"], batch["row_mask"]
-    B, T, F = mix.shape
-
-    fwd = forward
-    if cfg.remat:
-        fwd = jax.checkpoint(forward, static_argnums=(0, 7))
-    masks, new_state = fwd(cfg, params, state, mix, lengths, row_mask, rng,
-                           train)
-    masked = masks.reshape(B, T, cfg.num_spk, F) * mix[:, :, None, :]
-    pair = pairwise_mse(masked, sources)
-    min_losses, best_perm = permutation_min_loss(pair, cfg.num_spk)
-
-    total = jnp.sum(min_losses * row_mask) / cfg.num_spk
-    norm = jnp.sum(lengths.astype(jnp.float32) * row_mask) * cfg.feat_dim
-    return total / norm, {"norm": norm, "total": total,
-                          "new_state": new_state, "best_perm": best_perm,
-                          "masked": masked}
+    """The shared uPIT-contract objective (upit.contract_loss) — one
+    implementation, so the 'identical loss/normalization to uPIT' claim
+    behind every cross-arch comparison holds by construction."""
+    from .upit import contract_loss
+    return contract_loss(forward, cfg, params, state, batch, rng, train)
 
 
 def infer_masks(cfg: Config, params, state, batch, rng):
-    masks, _ = forward(cfg, params, state, batch["mix"], batch["lengths"],
-                       batch["row_mask"], rng, train=False)
-    return masks
+    from .upit import contract_infer
+    return contract_infer(forward, cfg, params, state, batch, rng)

@@ -133,19 +133,23 @@ def forward(cfg: Config, params, state, x, lengths, row_mask, rng, train: bool):
     return jax.nn.sigmoid(y), {"bn": bn_state}
 
 
-def loss_fn(cfg: Config, params, state, batch, rng, train: bool):
-    """Returns (scalar_loss, aux). scalar_loss = total/norm is what the
-    reference backprops (archs/uPIT.py:206); aux carries norm for the
-    weighted epoch average (train_qsub.py:118-119), the updated BN state,
-    and the chosen permutation per utterance."""
+def contract_loss(forward_fn, cfg, params, state, batch, rng, train: bool):
+    """The uPIT-contract objective, shared by every arch with a
+    (B, T, feat_dim*num_spk) sigmoid-mask forward (uPIT, TCN): min over
+    speaker permutations of the summed masked-mixture MSE, scalar =
+    total/norm exactly as the reference backprops (archs/uPIT.py:157-206).
+    aux carries norm for the weighted epoch average (train_qsub.py:
+    118-119), the updated state, and the chosen permutation/masked
+    estimates the plot hooks consume. One implementation so cross-arch
+    loss comparisons can never silently desynchronize."""
     mix, sources = batch["mix"], batch["sources"]
     lengths, row_mask = batch["lengths"], batch["row_mask"]
     B, T, F = mix.shape
 
-    fwd = forward
+    fwd = forward_fn
     if cfg.remat:
         # args: (cfg, params, state, x, lengths, row_mask, rng, train)
-        fwd = jax.checkpoint(forward, static_argnums=(0, 7))
+        fwd = jax.checkpoint(forward_fn, static_argnums=(0, 7))
     masks, new_state = fwd(cfg, params, state, mix, lengths, row_mask, rng, train)
     masked = masks.reshape(B, T, cfg.num_spk, F) * mix[:, :, None, :]
     pair = pairwise_mse(masked, sources)
@@ -158,10 +162,19 @@ def loss_fn(cfg: Config, params, state, batch, rng, train: bool):
                           "masked": masked}
 
 
-def infer_masks(cfg: Config, params, state, batch, rng):
-    """Test pass: masks from the running-stats (eval) forward.
-    Returns (B, T, feat_dim*num_spk); trimming to true length and the
+def contract_infer(forward_fn, cfg, params, state, batch, rng):
+    """Eval-mode masks for a uPIT-contract arch. Returns
+    (B, T, feat_dim*num_spk); trimming to true length and the
     (freq, time) npz layout happen host-side."""
-    masks, _ = forward(cfg, params, state, batch["mix"], batch["lengths"],
-                       batch["row_mask"], rng, train=False)
+    masks, _ = forward_fn(cfg, params, state, batch["mix"],
+                          batch["lengths"], batch["row_mask"], rng,
+                          train=False)
     return masks
+
+
+def loss_fn(cfg: Config, params, state, batch, rng, train: bool):
+    return contract_loss(forward, cfg, params, state, batch, rng, train)
+
+
+def infer_masks(cfg: Config, params, state, batch, rng):
+    return contract_infer(forward, cfg, params, state, batch, rng)
