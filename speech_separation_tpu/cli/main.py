@@ -279,7 +279,12 @@ def cmd_serve(args):
     signal.signal(signal.SIGTERM, _stop)
     signal.signal(signal.SIGINT, _stop)
     if args.warmup_sec:
-        n = server.warmup([float(s) for s in args.warmup_sec.split(",")])
+        try:
+            secs = [float(s) for s in args.warmup_sec.split(",") if s.strip()]
+        except ValueError:
+            raise SystemExit(f"--warmup-sec expects comma-separated seconds "
+                             f"(got {args.warmup_sec!r})")
+        n = server.warmup(secs)
         print(f"warmup: {n} shape buckets compiled", flush=True)
     print(f"serving {args.model} on {args.socket_path}", flush=True)
     server.serve_forever()
