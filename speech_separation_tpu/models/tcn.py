@@ -65,6 +65,10 @@ class Config:
     # matching the reference BLSTM scale for throughput comparability
     compute_dtype: str = "float32"  # "bfloat16" = the MXU perf path
     remat: bool = False
+    # causal=True left-pads every depthwise conv so frame t depends only
+    # on frames <= t — the streaming-inference variant (eval/streaming.py);
+    # the rest of the network (per-frame cLN/PReLU/1x1) is already causal
+    causal: bool = False
 
     @classmethod
     def from_kwargs(cls, **kwargs):
@@ -73,6 +77,15 @@ class Config:
     @property
     def mxu_dtype(self):
         return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+    def dilations(self) -> list:
+        return [2 ** (i % self.blocks)
+                for i in range(self.repeats * self.blocks)]
+
+    @property
+    def receptive_field(self) -> int:
+        """Frames of (left, in causal mode) context one output depends on."""
+        return 1 + (self.kernel - 1) * sum(self.dilations())
 
 
 def _linear_init(key, n_in, n_out):
@@ -136,14 +149,17 @@ def _cln(x, p, eps=1e-6):
     return (x - mu) * jax.lax.rsqrt(var + eps) * p["g"] + p["b"]
 
 
-def _depthwise(x, kernel, bias, dilation: int):
-    """Centered depthwise dilated conv over time. x (B, T, H), kernel
-    (K, H). SAME padding: (K-1)//2 * dilation each side."""
+def _depthwise(x, kernel, bias, dilation: int, causal: bool = False):
+    """Depthwise dilated conv over time. x (B, T, H), kernel (K, H).
+    Centered (SAME, (K-1)//2*d each side) or causal ((K-1)*d left)."""
     K = kernel.shape[0]
-    pad = (K - 1) // 2 * dilation
+    if causal:
+        pad = ((K - 1) * dilation, 0)
+    else:
+        pad = ((K - 1) // 2 * dilation,) * 2
     y = jax.lax.conv_general_dilated(
         x, kernel[:, None, :],                    # (K, 1, H) = (spatial, in/group, out)
-        window_strides=(1,), padding=[(pad, pad)],
+        window_strides=(1,), padding=[pad],
         rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=x.shape[-1])
@@ -169,7 +185,7 @@ def forward(cfg: Config, params, state, x, lengths, row_mask, rng,
         # differ from the conv's own zero padding at the T boundary and
         # break padding invariance
         y = _cln(_prelu(y, blk["prelu1"]), blk["ln1"]) * tmask
-        y = _depthwise(y, blk["dw"], blk["dw_b"], dilation)
+        y = _depthwise(y, blk["dw"], blk["dw_b"], dilation, cfg.causal)
         y = _cln(_prelu(y, blk["prelu2"]), blk["ln2"])
         # residual continues the trunk; skips accumulate toward the head
         h = (h + _dot(y, blk["res"], cfg.mxu_dtype)) * tmask
@@ -178,6 +194,47 @@ def forward(cfg: Config, params, state, x, lengths, row_mask, rng,
     out = _dot(_prelu(skips, params["head_prelu"]), params["head"],
                cfg.mxu_dtype)
     return jax.nn.sigmoid(out) * tmask, state
+
+
+def init_stream_state(cfg: Config, batch: int = 1):
+    """Zeroed per-block depthwise-conv context — (B, (K-1)*d, hidden) per
+    block. Zeros reproduce the offline causal conv's left zero-padding, so
+    a stream started from this state matches the offline forward exactly."""
+    return [jnp.zeros((batch, (cfg.kernel - 1) * d, cfg.hidden), jnp.float32)
+            for d in cfg.dilations()]
+
+
+def streaming_forward(cfg: Config, params, x, conv_state):
+    """One chunk of the causal forward with explicit conv context.
+
+    x: (B, C, F) magnitude frames (all real — streaming has no padding);
+    conv_state: from init_stream_state / a previous call. Returns
+    (masks (B, C, feat_dim*num_spk), new_conv_state). Equivalent to the
+    offline causal forward on the concatenated stream: every op except the
+    depthwise conv is per-frame, and the conv sees its full left context
+    via the carried state (VALID conv over concat(state, y)).
+    """
+    assert cfg.causal, "streaming_forward requires a causal config"
+    h = _dot(_cln(x, params["in_ln"]), params["in_proj"], cfg.mxu_dtype)
+    new_state = []
+    for i, blk in enumerate(params["blocks"]):
+        dilation = 2 ** (i % cfg.blocks)
+        y = _dot(h, blk["expand"], cfg.mxu_dtype)
+        y = _cln(_prelu(y, blk["prelu1"]), blk["ln1"])
+        ctx = jnp.concatenate([conv_state[i], y], axis=1)
+        new_state.append(ctx[:, ctx.shape[1] - conv_state[i].shape[1]:, :])
+        y = jax.lax.conv_general_dilated(
+            ctx, blk["dw"][:, None, :], window_strides=(1,),
+            padding=[(0, 0)], rhs_dilation=(dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=ctx.shape[-1]) + blk["dw_b"]
+        y = _cln(_prelu(y, blk["prelu2"]), blk["ln2"])
+        h = h + _dot(y, blk["res"], cfg.mxu_dtype)
+        s = _dot(y, blk["skip"], cfg.mxu_dtype)
+        skips = s if i == 0 else skips + s
+    out = _dot(_prelu(skips, params["head_prelu"]), params["head"],
+               cfg.mxu_dtype)
+    return jax.nn.sigmoid(out), new_state
 
 
 def loss_fn(cfg: Config, params, state, batch, rng, train: bool):
