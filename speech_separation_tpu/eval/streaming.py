@@ -2,7 +2,7 @@
 
 The reference — and this framework's other serving modes — are offline:
 they need the whole recording (or an 8 s long-form window) before any
-output exists. This engine separates a LIVE stream with bounded,
+output exists. This engine separates LIVE streams with bounded,
 structural latency using the causal TCN (models/tcn.py, ``causal=True``):
 
 - **causal network**: frame t's masks depend only on frames <= t, with
@@ -18,9 +18,16 @@ structural latency using the causal TCN (models/tcn.py, ``causal=True``):
   normalizer is then final too), reproducing the offline
   ``istft_batch`` output including edge normalization.
 
-One fixed-shape XLA program per chunk size: (chunk_frames) frames in,
-masked time-domain frames out. Total latency = chunk duration +
-n_fft/2 samples + device time (sub-ms for a small causal TCN).
+Two surfaces:
+
+- :class:`StreamingSeparator` — one stream. One fixed-shape XLA program
+  per chunk size; total latency = chunk duration + n_fft/2 samples +
+  device time.
+- :class:`StreamingPool` — N CONCURRENT streams (the telephony shape:
+  many live calls, one chip) batched into ONE chunk program. Streams
+  join/leave independently (per-row conv state is zeroed on open and
+  frozen via an advance mask while a stream is starved), so slots are
+  isolated: each stream's output is identical to running it alone.
 
 Usage::
 
@@ -47,44 +54,164 @@ from .infer import load_model
 
 
 @partial(jax.jit, static_argnames=("cfg", "num_spk"))
-def _chunk_program(cfg, params, conv_state, frames, num_spk: int):
-    """(C, n_fft) raw sample frames -> (S, C, n_fft) masked windowed
-    time-domain frames + new conv state. One compiled program per
-    (chunk_frames,) shape — the whole hot path of the stream."""
+def _chunk_program(cfg, params, conv_state, frames, advance, num_spk: int):
+    """(B, C, n_fft) raw sample frames -> (B, S, C, n_fft) masked windowed
+    time-domain frames + new conv state. ``advance`` (B,) float 0/1 rows:
+    rows with 0 keep their previous conv state (their frame input is
+    dead compute — the pool's starved-slot mechanism). One compiled
+    program per (B, chunk_frames) shape — the whole hot path."""
     from ..models.tcn import streaming_forward
 
-    n_fft = frames.shape[-1]
+    B, C, n_fft = frames.shape
     n_bins = n_fft // 2 + 1
     A = jnp.asarray(_windowed_rdft_matrix(n_fft))
     spec = jnp.dot(frames, A, precision=jax.lax.Precision.HIGHEST)
-    re, im = spec[:, :n_bins], spec[:, n_bins:]
+    re, im = spec[..., :n_bins], spec[..., n_bins:]
     mag = jnp.sqrt(re * re + im * im)
 
-    masks, new_state = streaming_forward(cfg, params, mag[None], conv_state)
-    C = frames.shape[0]
-    masks = masks.reshape(C, num_spk, n_bins).transpose(1, 0, 2)  # (S, C, F)
+    masks, new_state = streaming_forward(cfg, params, mag, conv_state)
+    adv = advance[:, None, None]
+    new_state = [jnp.where(adv, n, o) for n, o in zip(new_state, conv_state)]
+    masks = masks.reshape(B, C, num_spk, n_bins).transpose(0, 2, 1, 3)
 
     Bmat = jnp.asarray(_windowed_irdft_matrix(n_fft))
-    spec_s = jnp.concatenate([re[None] * masks, im[None] * masks], axis=-1)
+    spec_s = jnp.concatenate([re[:, None] * masks, im[:, None] * masks],
+                             axis=-1)
     y = jnp.dot(spec_s, Bmat, precision=jax.lax.Precision.HIGHEST)
     return y, new_state
 
 
-class StreamingSeparator:
-    """Real-time separation of one audio stream (one model, S tracks).
+class _StreamIO:
+    """Host-side bookkeeping for ONE stream: sample buffering in padded
+    coordinates (reflect(half) + samples [+ reflect at close]), chunk
+    extraction, overlap-add with per-sample window-sum normalization, and
+    finalized-sample emission. Owns no model state."""
 
-    ``push(samples)`` accepts any number of float32 samples and returns
-    the newly-finalized separated samples (S arrays, possibly empty);
-    ``close()`` flushes the tail. Output sample s is emitted exactly once,
-    in order, and the concatenated output per track has the input's
-    length, equal to the offline pipeline's tracks (up to the offline
-    path's hop*(T-1) trim, which close() reproduces).
-    """
+    def __init__(self, num_spk: int, chunk_frames: int, n_fft: int, hop: int):
+        self.S, self.C, self.n_fft, self.hop = num_spk, chunk_frames, n_fft, hop
+        self.half = n_fft // 2
+        self._w2 = np.asarray(hann_periodic(n_fft)) ** 2
+        self._idx = (np.arange(self.C)[:, None] * hop
+                     + np.arange(n_fft)[None, :])
+        self._raw = []          # pre-pad samples until half+1 are known
+        self._buf = None        # np.float32, padded stream suffix
+        self._buf_start = 0
+        self._n_raw = 0         # total raw samples received
+        self._t_done = 0        # frames processed
+        self._ola = np.zeros((num_spk, 0), np.float32)
+        self._wss = np.zeros((0,), np.float32)
+        self._ola_start = 0
+        self._emitted = 0       # signal-coordinate samples emitted
+        self.closed = False
 
-    def __init__(self, model_path: str, chunk_frames: int = 16,
-                 model_kwargs: dict | None = None, n_fft: int = 512,
-                 hop: int = 128):
-        self.arch, self.cfg, self.params, _state = load_model(
+    def feed(self, samples) -> None:
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        self._n_raw += len(samples)
+        if self._buf is None:
+            self._raw.append(samples)
+            self._ensure_buf()
+        else:
+            self._buf = np.concatenate([self._buf, samples])
+
+    def _ensure_buf(self) -> bool:
+        if self._buf is not None:
+            return True
+        raw = (np.concatenate(self._raw) if self._raw
+               else np.zeros(0, np.float32))
+        if len(raw) < self.half + 1:
+            return False
+        self._buf = np.concatenate([raw[1: self.half + 1][::-1], raw])
+        self._raw = None
+        return True
+
+    def has_chunk(self) -> bool:
+        """A full chunk of frames is buffered."""
+        if self._buf is None:
+            return False
+        end_pad = (self._t_done + self.C - 1) * self.hop + self.n_fft
+        return end_pad <= self._buf_start + len(self._buf)
+
+    def take_chunk(self, tail: bool = False):
+        """Extract the next chunk's (C, n_fft) frames and its valid count.
+        ``tail`` allows a final partial chunk (zero-padded frames past the
+        stream's true frame count)."""
+        t0 = self._t_done
+        if tail:
+            n_valid = min(self.C, num_frames(self._n_raw, self.hop) - t0)
+        else:
+            n_valid = self.C
+        a = t0 * self.hop - self._buf_start
+        need = (self.C - 1) * self.hop + self.n_fft
+        seg = self._buf[a: a + need]
+        if len(seg) < need:
+            seg = np.pad(seg, (0, need - len(seg)))
+        return seg[self._idx], n_valid
+
+    def accept(self, y: np.ndarray, n_valid: int) -> None:
+        """OLA ``n_valid`` frames of (S, C, n_fft) program output."""
+        y = y[:, :n_valid, :]
+        t0 = self._t_done
+        upto = (t0 + n_valid - 1) * self.hop + self.n_fft
+        need = upto - self._ola_start - self._wss.shape[0]
+        if need > 0:
+            self._ola = np.pad(self._ola, [(0, 0), (0, need)])
+            self._wss = np.pad(self._wss, (0, need))
+        for j in range(n_valid):
+            off = (t0 + j) * self.hop - self._ola_start
+            self._ola[:, off: off + self.n_fft] += y[:, j, :]
+            self._wss[off: off + self.n_fft] += self._w2
+        self._t_done += n_valid
+        # consumed samples: future frames start at t_done*hop
+        cut = self._t_done * self.hop - self._buf_start
+        if 0 < cut <= len(self._buf):
+            self._buf = self._buf[cut:]
+            self._buf_start += cut
+
+    def emit_live(self) -> list:
+        return self._emit(max(0, self._t_done * self.hop - self.half))
+
+    def _emit(self, upto_signal: int) -> list:
+        n = upto_signal - self._emitted
+        if n <= 0:
+            return [np.zeros(0, np.float32) for _ in range(self.S)]
+        a = self._emitted + self.half - self._ola_start
+        num = self._ola[:, a: a + n]
+        den = self._wss[a: a + n]
+        tiny = np.finfo(np.float32).tiny
+        out = np.where(den > tiny, num / den, num).astype(np.float32)
+        keep_from = self._t_done * self.hop - self._ola_start
+        keep_from = max(0, min(keep_from, a + n))
+        self._ola = self._ola[:, keep_from:]
+        self._wss = self._wss[keep_from:]
+        self._ola_start += keep_from
+        self._emitted = upto_signal
+        return [out[s] for s in range(self.S)]
+
+    def start_close(self) -> int:
+        """Append the end reflect padding; returns the total frame count.
+        After this, take_chunk(tail=True)/accept until t_done reaches it,
+        then finish_close()."""
+        if not self._ensure_buf():
+            raise ValueError(f"stream too short ({self._n_raw} samples; "
+                             f"need more than n_fft/2 = {self.half})")
+        total = self._n_raw
+        # reflect_pad_center's right side; raw[k] lives at padded k + half
+        get = lambda k: self._buf[k + self.half - self._buf_start]
+        right = np.asarray([get(total - 2 - i) for i in range(self.half)],
+                           np.float32)
+        self._buf = np.concatenate([self._buf, right])
+        return num_frames(total, self.hop)
+
+    def finish_close(self) -> list:
+        return self._emit(istft_output_length(
+            num_frames(self._n_raw, self.hop), self.hop))
+
+
+class _Model:
+    """Loaded causal-TCN model shared by the streaming surfaces."""
+
+    def __init__(self, model_path, model_kwargs, n_fft):
+        self.arch, self.cfg, self.params, _ = load_model(
             model_path, model_kwargs=model_kwargs)
         if self.arch.NAME != "TCN" or not getattr(self.cfg, "causal", False):
             raise ValueError(
@@ -94,142 +221,145 @@ class StreamingSeparator:
         if self.cfg.feat_dim != n_fft // 2 + 1:
             raise ValueError(f"model feat_dim {self.cfg.feat_dim} does not "
                              f"match n_fft {n_fft}")
+
+
+class StreamingSeparator:
+    """Real-time separation of one audio stream (one model, S tracks).
+
+    ``push(samples)`` accepts any number of float32 samples and returns
+    the newly-finalized separated samples (S arrays, possibly empty);
+    ``close()`` flushes the tail. Output sample s is emitted exactly once,
+    in order, and the concatenated output per track equals the offline
+    pipeline's tracks (same hop*(T-1) length)."""
+
+    def __init__(self, model_path: str, chunk_frames: int = 16,
+                 model_kwargs: dict | None = None, n_fft: int = 512,
+                 hop: int = 128):
         from ..models.tcn import init_stream_state
-        self.n_fft, self.hop, self.C = n_fft, hop, chunk_frames
-        self.half = n_fft // 2
+        m = _Model(model_path, model_kwargs, n_fft)
+        self.cfg, self.params = m.cfg, m.params
         self.S = self.cfg.num_spk
         self._state = init_stream_state(self.cfg, batch=1)
-        self._w2 = np.asarray(hann_periodic(n_fft)) ** 2
-        # padded-coordinate stream: reflect(half) + samples (+ reflect at
-        # close). _buf holds the not-yet-fully-consumed padded samples;
-        # _buf_start is the padded coordinate of _buf[0].
-        self._raw = []          # pre-pad samples until half+1 are known
-        self._buf = None        # np.float32, padded stream suffix
-        self._buf_start = 0
-        self._n_raw = 0         # total raw samples received
-        self._t_done = 0        # frames processed
-        # overlap-add accumulators, padded coords from _ola_start
-        self._ola = np.zeros((self.S, 0), np.float32)
-        self._wss = np.zeros((0,), np.float32)
-        self._ola_start = 0
-        self._emitted = 0       # signal-coordinate samples emitted
-        self._closed = False
+        self._io = _StreamIO(self.S, chunk_frames, n_fft, hop)
+        self._adv = jnp.ones((1,), jnp.float32)
 
-    # ------------------------------------------------------------- plumbing
+    def _run(self, frames, n_valid):
+        y, self._state = _chunk_program(
+            self.cfg, self.params, self._state, jnp.asarray(frames[None]),
+            self._adv, self.S)
+        self._io.accept(np.asarray(y)[0], n_valid)
 
-    def _ensure_buf(self) -> bool:
-        """Create the padded stream once the start reflect is computable."""
-        if self._buf is not None:
-            return True
-        raw = np.concatenate(self._raw) if self._raw else np.zeros(0, np.float32)
-        if len(raw) < self.half + 1:
-            return False
-        self._buf = np.concatenate([raw[1: self.half + 1][::-1], raw])
-        self._raw = None
-        return True
-
-    def _grow_ola(self, upto: int) -> None:
-        need = upto - self._ola_start - self._wss.shape[0]
-        if need > 0:
-            self._ola = np.pad(self._ola, [(0, 0), (0, need)])
-            self._wss = np.pad(self._wss, (0, need))
-
-    def _run_chunk(self, frames_np: np.ndarray, n_valid: int) -> None:
-        """Run the compiled chunk program and OLA n_valid frames."""
-        y, self._state = _chunk_program(self.cfg, self.params, self._state,
-                                        jnp.asarray(frames_np), self.S)
-        y = np.asarray(y)[:, :n_valid, :]
-        t0 = self._t_done
-        self._grow_ola((t0 + n_valid - 1) * self.hop + self.n_fft)
-        for j in range(n_valid):
-            off = (t0 + j) * self.hop - self._ola_start
-            self._ola[:, off: off + self.n_fft] += y[:, j, :]
-            self._wss[off: off + self.n_fft] += self._w2
-        self._t_done += n_valid
-
-    def _emit(self, upto_signal: int) -> list:
-        """Finalize signal-coordinate samples [emitted, upto_signal)."""
-        n = upto_signal - self._emitted
-        if n <= 0:
-            return [np.zeros(0, np.float32) for _ in range(self.S)]
-        a = self._emitted + self.half - self._ola_start
-        num = self._ola[:, a: a + n]
-        den = self._wss[a: a + n]
-        tiny = np.finfo(np.float32).tiny
-        out = np.where(den > tiny, num / den, num).astype(np.float32)
-        # drop everything older than any future frame can touch
-        keep_from = self._t_done * self.hop - self._ola_start
-        keep_from = max(0, min(keep_from, a + n))
-        self._ola = self._ola[:, keep_from:]
-        self._wss = self._wss[keep_from:]
-        self._ola_start += keep_from
-        self._emitted = upto_signal
-        return [out[s] for s in range(self.S)]
-
-    # ------------------------------------------------------------------ api
-
-    def push(self, samples: np.ndarray) -> list:
-        """Feed samples; returns S arrays of newly-final separated samples."""
-        if self._closed:
+    def push(self, samples) -> list:
+        if self._io.closed:
             raise RuntimeError("push after close")
-        samples = np.asarray(samples, np.float32).reshape(-1)
-        self._n_raw += len(samples)
-        if self._buf is None:
-            self._raw.append(samples)
-            if not self._ensure_buf():
-                return [np.zeros(0, np.float32) for _ in range(self.S)]
-        else:
-            self._buf = np.concatenate([self._buf, samples])
-
-        # process every full chunk whose frames are fully buffered
-        while True:
-            t0 = self._t_done
-            end_pad = (t0 + self.C - 1) * self.hop + self.n_fft
-            if end_pad > self._buf_start + len(self._buf):
-                break
-            a = t0 * self.hop - self._buf_start
-            seg = self._buf[a: a + (self.C - 1) * self.hop + self.n_fft]
-            idx = (np.arange(self.C)[:, None] * self.hop
-                   + np.arange(self.n_fft)[None, :])
-            self._run_chunk(seg[idx], self.C)
-            # frames before t_done are consumed; keep what future frames need
-            cut = self._t_done * self.hop - self._buf_start
-            if cut > 0:
-                self._buf = self._buf[cut:]
-                self._buf_start += cut
-        return self._emit(max(0, self._t_done * self.hop - self.half))
+        self._io.feed(samples)
+        while self._io.has_chunk():
+            frames, n_valid = self._io.take_chunk()
+            self._run(frames, n_valid)
+        return self._io.emit_live()
 
     def close(self) -> list:
-        """Flush: process tail frames (with end reflect padding) and emit
-        the remaining samples, to the offline length hop*(T-1)."""
-        if self._closed:
+        if self._io.closed:
             raise RuntimeError("close twice")
-        self._closed = True
-        if not self._ensure_buf():
-            raise ValueError(f"stream too short ({self._n_raw} samples; "
-                             f"need more than n_fft/2 = {self.half})")
-        # end reflect padding, exactly reflect_pad_center's right side;
-        # raw[k] lives at padded coordinate k + half
-        total = self._n_raw
-        get = lambda k: self._buf[k + self.half - self._buf_start]
-        right = np.asarray([get(total - 2 - i) for i in range(self.half)],
-                           np.float32)
-        self._buf = np.concatenate([self._buf, right])
+        self._io.closed = True
+        t_total = self._io.start_close()
+        while self._io._t_done < t_total:
+            frames, n_valid = self._io.take_chunk(tail=True)
+            self._run(frames, n_valid)
+        return self._io.finish_close()
 
-        T_total = num_frames(total, self.hop)
-        while self._t_done < T_total:
-            t0 = self._t_done
-            n_valid = min(self.C, T_total - t0)
-            a = t0 * self.hop - self._buf_start
-            need = (self.C - 1) * self.hop + self.n_fft
-            seg = self._buf[a: a + need]
-            if len(seg) < need:
-                seg = np.pad(seg, (0, need - len(seg)))
-            idx = (np.arange(self.C)[:, None] * self.hop
-                   + np.arange(self.n_fft)[None, :])
-            self._run_chunk(seg[idx], n_valid)
-            cut = self._t_done * self.hop - self._buf_start
-            if 0 < cut <= len(self._buf):
-                self._buf = self._buf[cut:]
-                self._buf_start += cut
-        return self._emit(istft_output_length(T_total, self.hop))
+
+class StreamingPool:
+    """N concurrent live streams batched into ONE chunk program.
+
+    The production shape for many simultaneous calls on one chip: the
+    batched program's per-chunk cost is amortized over every active
+    slot, and per-row conv state keeps slots fully isolated — a stream's
+    output is bit-identical to running it alone (tests/test_streaming.py).
+
+    Slots join (``open``), receive audio (``push``), and leave
+    (``close``) independently. ``step()`` runs one batched chunk over
+    every slot that has a full chunk buffered; starved or empty slots
+    ride along as dead compute with their conv state frozen by the
+    advance mask. Typical loop::
+
+        pool = StreamingPool(model, capacity=8)
+        a, b = pool.open(), pool.open()
+        pool.push(a, blockA); pool.push(b, blockB)
+        for slot, tracks in pool.step().items(): ...
+        tracks = pool.close(a)       # flush slot a, slot becomes reusable
+    """
+
+    def __init__(self, model_path: str, capacity: int = 8,
+                 chunk_frames: int = 16, model_kwargs: dict | None = None,
+                 n_fft: int = 512, hop: int = 128):
+        from ..models.tcn import init_stream_state
+        m = _Model(model_path, model_kwargs, n_fft)
+        self.cfg, self.params = m.cfg, m.params
+        self.S = self.cfg.num_spk
+        self.B, self.C = capacity, chunk_frames
+        self.n_fft, self.hop = n_fft, hop
+        self._state = init_stream_state(self.cfg, batch=capacity)
+        self._io: list = [None] * capacity
+
+    def open(self) -> int:
+        """Claim a free slot; its conv state starts zeroed (= a fresh
+        stream's left zero-padding). Returns the slot id."""
+        for slot in range(self.B):
+            if self._io[slot] is None:
+                self._io[slot] = _StreamIO(self.S, self.C, self.n_fft,
+                                           self.hop)
+                self._state = [st.at[slot].set(0.0) for st in self._state]
+                return slot
+        raise RuntimeError(f"pool full ({self.B} slots)")
+
+    def push(self, slot: int, samples) -> None:
+        io = self._io[slot]
+        if io is None or io.closed:
+            raise RuntimeError(f"slot {slot} is not open")
+        io.feed(samples)
+
+    def _run_batched(self, per_slot: dict) -> None:
+        """per_slot: {slot: (frames, n_valid)} — one batched chunk."""
+        frames = np.zeros((self.B, self.C, self.n_fft), np.float32)
+        adv = np.zeros((self.B,), np.float32)
+        for slot, (f, _nv) in per_slot.items():
+            frames[slot] = f
+            adv[slot] = 1.0
+        y, self._state = _chunk_program(
+            self.cfg, self.params, self._state, jnp.asarray(frames),
+            jnp.asarray(adv), self.S)
+        y = np.asarray(y)
+        for slot, (_f, n_valid) in per_slot.items():
+            self._io[slot].accept(y[slot], n_valid)
+
+    def step(self) -> dict:
+        """Advance every slot with a full buffered chunk by one chunk.
+        Returns {slot: [S arrays of newly-final samples]} for the slots
+        that advanced (empty dict if none were ready)."""
+        ready = {slot: io.take_chunk()
+                 for slot, io in enumerate(self._io)
+                 if io is not None and not io.closed and io.has_chunk()}
+        if not ready:
+            return {}
+        self._run_batched(ready)
+        return {slot: self._io[slot].emit_live() for slot in ready}
+
+    def close(self, slot: int) -> list:
+        """Flush one stream's tail and free its slot. Returns every
+        not-yet-emitted sample of the stream (buffered full chunks are
+        drained here too — only this slot advances; others stay frozen)."""
+        io = self._io[slot]
+        if io is None or io.closed:
+            raise RuntimeError(f"slot {slot} is not open")
+        while io.has_chunk():
+            frames, n_valid = io.take_chunk()
+            self._run_batched({slot: (frames, n_valid)})
+        io.closed = True
+        t_total = io.start_close()
+        while io._t_done < t_total:
+            frames, n_valid = io.take_chunk(tail=True)
+            self._run_batched({slot: (frames, n_valid)})
+        out = io.finish_close()
+        self._io[slot] = None
+        return out

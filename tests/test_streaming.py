@@ -152,3 +152,70 @@ def test_causal_forward_ignores_future():
     np.testing.assert_array_equal(np.asarray(m1[0, :20]),
                                   np.asarray(m2[0, :20]))
     assert np.any(np.asarray(m1[0, 20:]) != np.asarray(m2[0, 20:]))
+
+
+def test_pool_streams_match_solo(causal_model):
+    """Two concurrent pool streams, interleaved pushes with starvation
+    (slot b gets audio in bursts), must match running each stream alone
+    to float precision (the B=4 program reduces in a different order
+    than B=1, so bit-identity across batch shapes is not expected) —
+    per-row conv state isolates slots."""
+    from speech_separation_tpu.eval.streaming import StreamingPool
+
+    xa = _audio(n=7000, seed=21)
+    xb = _audio(n=9000, seed=22)
+    solo = {k: _run_stream(causal_model, x, (len(x),))
+            for k, x in (("a", xa), ("b", xb))}
+
+    pool = StreamingPool(causal_model, capacity=4, chunk_frames=8,
+                         model_kwargs=KW)
+    a, b = pool.open(), pool.open()
+    got = {a: [[], []], b: [[], []]}
+
+    def take(results):
+        for slot, tracks in results.items():
+            for s in range(2):
+                got[slot][s].append(tracks[s])
+
+    # a gets steady 500-sample blocks; b arrives in two big bursts, so b
+    # starves for many steps while a advances (frozen-state path)
+    for i in range(0, 7000, 500):
+        pool.push(a, xa[i: i + 500])
+        if i == 0:
+            pool.push(b, xb[:1500])
+        if i == 4000:
+            pool.push(b, xb[1500:])
+        take(pool.step())
+    take({b: pool.close(b)})
+    take({a: pool.close(a)})
+
+    for slot, x, key in ((a, xa, "a"), (b, xb, "b")):
+        for s in range(2):
+            mine = np.concatenate(got[slot][s])
+            assert len(mine) == len(solo[key][s])
+            np.testing.assert_allclose(mine, solo[key][s], atol=2e-6)
+
+
+def test_pool_slot_reuse_and_errors(causal_model):
+    from speech_separation_tpu.eval.streaming import StreamingPool
+
+    pool = StreamingPool(causal_model, capacity=2, chunk_frames=8,
+                         model_kwargs=KW)
+    a, b = pool.open(), pool.open()
+    with pytest.raises(RuntimeError, match="pool full"):
+        pool.open()
+    pool.push(a, _audio(3000, seed=1))
+    tracks = pool.close(a)
+    assert len(tracks) == 2 and len(tracks[0]) > 0
+    with pytest.raises(RuntimeError, match="not open"):
+        pool.push(a, np.zeros(10, np.float32))
+    # the freed slot is reusable and starts from clean state: same input
+    # on the reused slot == a fresh solo run
+    c = pool.open()
+    assert c == a
+    x = _audio(4000, seed=2)
+    pool.push(c, x)
+    out_pool = pool.close(c)
+    out_solo = _run_stream(causal_model, x, (4000,))
+    for s in range(2):
+        np.testing.assert_allclose(out_pool[s], out_solo[s], atol=2e-6)
