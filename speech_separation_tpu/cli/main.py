@@ -264,8 +264,20 @@ def cmd_serve(args):
                               stft_cfg=cfg, batch_size=args.batch_size,
                               num_spk=args.num_spk or None,
                               mesh=_data_mesh(args))
+    stream_pool = None
+    if args.streaming_model:
+        from ..eval.streaming import StreamingPool
+        stream_pool = StreamingPool(
+            args.streaming_model, capacity=args.stream_capacity,
+            chunk_frames=args.stream_chunk_frames,
+            model_kwargs=read_model_config(args.streaming_model_config),
+            n_fft=args.fft_dim, hop=args.step_size)
+        print(f"streaming: {args.streaming_model} "
+              f"({args.stream_capacity} slots, "
+              f"{args.stream_chunk_frames}-frame chunks)", flush=True)
     server = SeparationServer(pipe, args.socket_path,
-                              coalesce=args.coalesce)
+                              coalesce=args.coalesce,
+                              stream_pool=stream_pool)
     # daemon managers stop services with SIGTERM, which would otherwise
     # kill the process without draining in-flight requests or removing
     # the socket file; route it (and Ctrl-C) through the clean shutdown
@@ -828,6 +840,17 @@ def build_parser():
     p.add_argument("--sample-rate", type=int, default=8000)
     p.add_argument("--coalesce", type=int, default=32,
                    help="max queued requests merged into one device batch")
+    p.add_argument("--streaming-model", default="",
+                   help="causal-TCN checkpoint enabling the live-stream "
+                        "protocol (stream_open/push/close; docs/api.md)")
+    p.add_argument("--streaming-model-config", default="",
+                   help="key=value config for the streaming model")
+    p.add_argument("--stream-capacity", type=int, default=8,
+                   help="max concurrent live streams (one batched chunk "
+                        "program)")
+    p.add_argument("--stream-chunk-frames", type=int, default=16,
+                   help="chunk size in STFT frames (latency = chunk + "
+                        "n_fft/2 samples)")
     p.add_argument("--warmup-sec", default="",
                    help="comma-separated audio lengths (seconds) to "
                         "pre-compile at startup, e.g. '4,8'")

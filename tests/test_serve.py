@@ -269,3 +269,142 @@ def test_request_queued_during_shutdown_still_gets_a_reply(served, tmp_path):
     reply = srv._dispatch({"wavs": [served["wavs"][0]],
                            "out_dir": str(tmp_path)})
     assert reply == {"ok": False, "error": "server shutting down"}
+
+
+@pytest.fixture(scope="module")
+def stream_served(tmp_path_factory):
+    """A server with the live-stream protocol enabled (causal TCN pool)."""
+    import base64
+    from speech_separation_tpu.models import tcn
+    from speech_separation_tpu.eval.streaming import StreamingPool
+
+    root = tmp_path_factory.mktemp("stream_serve")
+    tkw = {"channels": "16", "hidden": "24", "blocks": "3", "repeats": "2",
+           "causal": "1"}
+    cfg = tcn.Config(feat_dim=257, num_spk=2, channels=16, hidden=24,
+                     blocks=3, repeats=2, causal=True)
+    params, state = tcn.init(jax.random.PRNGKey(3), cfg)
+    smodel = str(root / "stream.mdl")
+    save_checkpoint(smodel, params=params, state=state,
+                    meta={"arch": "TCN", "model_kwargs": tkw})
+
+    # batch pipeline model (uPIT) — unrelated to the stream pool
+    ucfg = upit.Config(feat_dim=257, num_spk=2, hidden=16, num_layers=1,
+                       zero_init_hidden=True)
+    up, us = upit.init(jax.random.PRNGKey(0), ucfg)
+    bmodel = str(root / "batch.mdl")
+    save_checkpoint(bmodel, params=up, state=us, meta={"arch": "uPIT"})
+
+    pipe = SeparationPipeline(bmodel, model_kwargs=KW, batch_size=4,
+                              length_quantum=4096)
+    pool = StreamingPool(smodel, capacity=3, chunk_frames=8,
+                         model_kwargs=tkw)
+    sock = str(root / "sp.sock")
+    server = SeparationServer(pipe, sock, stream_pool=pool)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    deadline = time.monotonic() + 30
+    while not os.path.exists(sock):
+        assert time.monotonic() < deadline
+        time.sleep(0.02)
+    yield {"socket": sock, "model": smodel, "tkw": tkw, "root": root}
+    server.shutdown()
+    t.join(timeout=10)
+
+
+def _b64(x):
+    import base64
+    pcm = np.clip(np.rint(np.asarray(x) * 32768.0), -32768, 32767
+                  ).astype("<i2")
+    return base64.b64encode(pcm.tobytes()).decode()
+
+
+def _unb64(s):
+    import base64
+    return np.frombuffer(base64.b64decode(s), "<i2"
+                         ).astype(np.float32) / 32768.0
+
+
+def test_socket_streaming_matches_direct(stream_served):
+    """A live stream over the socket == StreamingSeparator on the same
+    (pcm16-quantized) audio."""
+    from speech_separation_tpu.eval.streaming import StreamingSeparator
+
+    rng = np.random.default_rng(13)
+    x = (0.1 * rng.standard_normal(7000)).astype(np.float32)
+    xq = np.clip(np.rint(x * 32768.0), -32768, 32767
+                 ).astype(np.float32) / 32768.0  # what the server decodes
+
+    r = request(stream_served["socket"], {"cmd": "stream_open"})
+    assert r["ok"] and r["num_spk"] == 2 and r["sample_rate"] == 8000
+    slot = r["slot"]
+    got = [[], []]
+    for i in range(0, 7000, 800):
+        rr = request(stream_served["socket"],
+                     {"cmd": "stream_push", "slot": slot,
+                      "pcm16": _b64(x[i: i + 800])})
+        assert rr["ok"], rr
+        for s in range(2):
+            got[s].append(_unb64(rr["tracks"][s]))
+    rr = request(stream_served["socket"], {"cmd": "stream_close",
+                                           "slot": slot})
+    assert rr["ok"], rr
+    for s in range(2):
+        got[s].append(_unb64(rr["tracks"][s]))
+    mine = [np.concatenate(g) for g in got]
+
+    sep = StreamingSeparator(stream_served["model"], chunk_frames=8,
+                             model_kwargs=stream_served["tkw"])
+    ref = [[], []]
+    for i in range(0, 7000, 800):
+        tr = sep.push(xq[i: i + 800])
+        for s in range(2):
+            ref[s].append(tr[s])
+    tr = sep.close()
+    for s in range(2):
+        ref[s].append(tr[s])
+    ref = [np.concatenate(r_) for r_ in ref]
+    for s in range(2):
+        assert len(mine[s]) == len(ref[s])
+        # both sides pcm16-quantize outputs going over the wire
+        np.testing.assert_allclose(mine[s], ref[s], atol=1.1 / 32768.0)
+
+
+def test_socket_streaming_two_concurrent_and_errors(stream_served):
+    """Two interleaved socket streams stay isolated; protocol errors are
+    rejected without killing the server; slots free on close."""
+    rng = np.random.default_rng(14)
+    xa = (0.1 * rng.standard_normal(4000)).astype(np.float32)
+    xb = (0.1 * rng.standard_normal(4000)).astype(np.float32)
+    sa = request(stream_served["socket"], {"cmd": "stream_open"})["slot"]
+    sb = request(stream_served["socket"], {"cmd": "stream_open"})["slot"]
+    assert sa != sb
+    la = lb = 0
+    for i in range(0, 4000, 1000):
+        ra = request(stream_served["socket"],
+                     {"cmd": "stream_push", "slot": sa,
+                      "pcm16": _b64(xa[i: i + 1000])})
+        rb = request(stream_served["socket"],
+                     {"cmd": "stream_push", "slot": sb,
+                      "pcm16": _b64(xb[i: i + 1000])})
+        assert ra["ok"] and rb["ok"]
+        la += len(_unb64(ra["tracks"][0]))
+        lb += len(_unb64(rb["tracks"][0]))
+    ra = request(stream_served["socket"], {"cmd": "stream_close", "slot": sa})
+    rb = request(stream_served["socket"], {"cmd": "stream_close", "slot": sb})
+    assert ra["ok"] and rb["ok"]
+    la += len(_unb64(ra["tracks"][0]))
+    lb += len(_unb64(rb["tracks"][0]))
+    assert la == lb == 128 * (4000 // 128)  # hop*(T-1)
+
+    # errors: bad slot, bad payload, push to closed slot
+    for bad in ({"cmd": "stream_push", "slot": 99, "pcm16": _b64(xa[:100])},
+                {"cmd": "stream_push", "slot": sa, "pcm16": _b64(xa[:100])},
+                {"cmd": "stream_close", "slot": True}):
+        r = request(stream_served["socket"], bad)
+        assert not r["ok"], bad
+    r = request(stream_served["socket"], {"cmd": "stream_open"})
+    rr = request(stream_served["socket"],
+                 {"cmd": "stream_push", "slot": r["slot"], "pcm16": "!!!"})
+    assert not rr["ok"]
+    assert request(stream_served["socket"], {"cmd": "ping"})["ok"]
