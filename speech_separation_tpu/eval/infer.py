@@ -49,6 +49,11 @@ def generate_masks(model_path: str, data_dir: str, out_dir: str,
                    batch_size: int = 100, time_pad_multiple: int = 128,
                    seed: int = 0, log=print) -> None:
     arch, cfg, params, state = load_model(model_path, arch_name, model_kwargs)
+    if getattr(arch, "DOMAIN", "spectrum") == "time":
+        raise ValueError(
+            f"{arch.NAME} is a time-domain architecture — it has no spectral "
+            "masks to write. Evaluate through the fused waveform path "
+            "(run-eval --on-device-features) or `sepsep separate`.")
     os.makedirs(out_dir, exist_ok=True)
 
     dataset = FeatureDataset(data_dir, "test")

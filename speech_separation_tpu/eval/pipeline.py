@@ -73,6 +73,9 @@ class SeparationPipeline:
                  mesh=None):
         self.arch, self.cfg, self.params, self.state = load_model(
             model_path, arch_name, model_kwargs)
+        # 'time' archs (models/convtasnet.py) map waveforms to waveforms
+        # directly — no STFT/masks/iSTFT anywhere in the fused program
+        self.domain = getattr(self.arch, "DOMAIN", "spectrum")
         self.stft_cfg = stft_cfg
         self.batch_size = batch_size
         self.length_quantum = length_quantum
@@ -102,6 +105,8 @@ class SeparationPipeline:
             self.mesh = None
 
     def _fused_fn(self, n_t: int, num_spk: int):
+        """One compiled program per shape key: (frame count, S) for
+        spectral archs, (padded sample count, S) for time-domain archs."""
         key = (n_t, num_spk)
         if key in self._fns:
             return self._fns[key]
@@ -109,6 +114,14 @@ class SeparationPipeline:
         arch = self.arch
         scfg = self.stft_cfg
         F = scfg.num_bins
+
+        if self.domain == "time":
+            @jax.jit
+            def fused_time(xp, sample_counts, rng):
+                return arch.separate(cfg, params, state, xp, sample_counts)
+
+            self._fns[key] = fused_time
+            return fused_time
 
         @jax.jit
         def fused(xp, frame_counts, rng):
@@ -180,9 +193,18 @@ class SeparationPipeline:
         def load_group(idxs):
             group = [np.asarray(loader(i), np.float32) for i in idxs]
             max_len = _round_up(max(len(s) for s in group), self.length_quantum)
+            B = self.batch_size if pad_batches else len(group)
+            if self.domain == "time":
+                # no STFT centering: raw zero-padded samples; the shape
+                # key is the padded sample count itself
+                xp = np.zeros((B, max_len), np.float32)
+                counts = np.ones((B,), np.int32)
+                for r, s in enumerate(group):
+                    xp[r, : len(s)] = s
+                    counts[r] = len(s)
+                return xp, counts, max_len
             n_t = num_frames(max_len, scfg.hop)
             Lp = max_len + scfg.n_fft
-            B = self.batch_size if pad_batches else len(group)
             xp = np.zeros((B, Lp), np.float32)
             counts = np.ones((B,), np.int32)  # pad rows: 1 frame of silence
             for r, s in enumerate(group):
@@ -207,6 +229,11 @@ class SeparationPipeline:
                 else:
                     xp_d, counts_d = jnp.asarray(xp), jnp.asarray(counts)
                 y = np.asarray(fused(xp_d, counts_d, step_rng))
+                if self.domain == "time":
+                    for r, i in enumerate(idxs):
+                        n = int(counts[r])
+                        yield i, [y[r, s, :n] for s in range(S)]
+                    continue
                 half = scfg.n_fft // 2
                 for r, i in enumerate(idxs):
                     L_out = istft_output_length(int(counts[r]), scfg.hop)

@@ -19,9 +19,15 @@ from __future__ import annotations
 
 import importlib
 
-from . import upit, rsh, tcn
+from . import upit, rsh, tcn, convtasnet
 
-ARCHS = {"uPIT": upit, "RSH": rsh, "TCN": tcn}
+ARCHS = {"uPIT": upit, "RSH": rsh, "TCN": tcn, "ConvTasNet": convtasnet}
+
+
+def domain(arch) -> str:
+    """'spectrum' (STFT-magnitude batches, infer_masks contract) or 'time'
+    (waveform batches, separate() contract) — see models/convtasnet.py."""
+    return getattr(arch, "DOMAIN", "spectrum")
 
 
 def register(name: str, module) -> None:

@@ -118,14 +118,17 @@ def make_update_step(arch, model_cfg, optimizer, stft_cfg: STFTConfig | None = N
     With stft_cfg set, the batch carries waveforms and the feature
     extraction fuses into the same XLA program (waveform-direct mode)."""
 
+    time_domain = getattr(arch, "DOMAIN", "spectrum") == "time"
+
     # donate params/state/opt_state: their HBM buffers are updated in place
     # instead of double-buffered (the caller reassigns them every step)
     @partial(jax.jit, donate_argnums=(0, 1, 2),
              compiler_options=_step_compiler_options(arch, model_cfg))
     def step(params, state, opt_state, batch, rng):
         if stft_cfg is not None:
-            from .wav_data import audio_to_feature_batch
-            batch = audio_to_feature_batch(batch, stft_cfg)
+            from .wav_data import audio_to_feature_batch, audio_to_wave_batch
+            batch = (audio_to_wave_batch if time_domain
+                     else audio_to_feature_batch)(batch, stft_cfg)
         batch = _upcast_features(batch)
 
         def lossf(p):
@@ -176,11 +179,14 @@ def make_apply_step(optimizer):
 
 
 def make_eval_step(arch, model_cfg, stft_cfg: STFTConfig | None = None):
+    time_domain = getattr(arch, "DOMAIN", "spectrum") == "time"
+
     @jax.jit
     def step(params, state, batch, rng):
         if stft_cfg is not None:
-            from .wav_data import audio_to_feature_batch
-            batch = audio_to_feature_batch(batch, stft_cfg)
+            from .wav_data import audio_to_feature_batch, audio_to_wave_batch
+            batch = (audio_to_wave_batch if time_domain
+                     else audio_to_feature_batch)(batch, stft_cfg)
         batch = _upcast_features(batch)
         loss, aux = arch.loss_fn(model_cfg, params, state, batch, rng, False)
         return loss, aux["norm"]
@@ -340,6 +346,12 @@ def _train_locked(data_dir: str, exp_dir: str, loop_cfg: TrainLoopConfig,
                   use_mesh: bool = True, log=print) -> dict:
     arch = get_arch(loop_cfg.arch)
     model_cfg = arch.Config.from_kwargs(**(model_kwargs or {}))
+    if (getattr(arch, "DOMAIN", "spectrum") == "time"
+            and not loop_cfg.on_device_features):
+        raise ValueError(
+            f"{arch.NAME} is a time-domain architecture: it trains on "
+            "waveforms, not spectral feature files. Run with "
+            "--on-device-features (wav.scp input; no extraction stage).")
     # embedded in every checkpoint so eval can reconstruct the model
     # without a separate config file (the reference needs the conf
     # snapshot + frozen arch.py for this)

@@ -108,6 +108,29 @@ def collate_wav_batch(dataset: WavDataset, idxs: list[int],
             "lengths": lengths, "row_mask": row_mask, "names": names}
 
 
+def audio_to_wave_batch(batch: dict, cfg: STFTConfig):
+    """Device-side: shipped audio batch -> the waveform batch a
+    DOMAIN='time' arch (models/convtasnet.py) consumes. The shipped rows
+    are reflect-padded around each signal for the STFT models
+    (reflect_pad_center: n_fft//2 both sides); time-domain training wants
+    the raw samples, so the static n_fft//2 prefix is sliced off and
+    everything past each row's true sample count is zeroed (the reflect
+    tail would otherwise leak mirrored audio into the loss)."""
+    import jax.numpy as jnp
+
+    audio = batch["audio"]
+    if audio.dtype == jnp.int16:
+        audio = audio.astype(jnp.float32) / 32768.0
+    half = cfg.n_fft // 2
+    L = audio.shape[-1] - cfg.n_fft           # static: the max_len padding
+    wav = audio[:, :, half: half + L]
+    n = batch["sample_lengths"]
+    smask = (jnp.arange(L)[None, :] < n[:, None]).astype(jnp.float32)
+    wav = wav * smask[:, None, :]
+    return {"mix_wav": wav[:, 0], "source_wavs": wav[:, 1:],
+            "sample_lengths": n, "row_mask": batch["row_mask"]}
+
+
 def audio_to_feature_batch(batch: dict, cfg: STFTConfig):
     """Device-side: waveform batch -> the {'mix','sources',...} feature
     batch the arch loss functions consume. Jit-safe (static shapes from
