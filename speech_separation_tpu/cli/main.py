@@ -841,8 +841,9 @@ def build_parser():
     p.add_argument("--coalesce", type=int, default=32,
                    help="max queued requests merged into one device batch")
     p.add_argument("--streaming-model", default="",
-                   help="causal-TCN checkpoint enabling the live-stream "
-                        "protocol (stream_open/push/close; docs/api.md)")
+                   help="causal checkpoint (TCN or Conv-TasNet) enabling the "
+                        "live-stream protocol (stream_open/push/close; "
+                        "docs/api.md)")
     p.add_argument("--streaming-model-config", default="",
                    help="key=value config for the streaming model")
     p.add_argument("--stream-capacity", type=int, default=8,

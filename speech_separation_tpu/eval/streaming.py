@@ -3,7 +3,15 @@
 The reference — and this framework's other serving modes — are offline:
 they need the whole recording (or an 8 s long-form window) before any
 output exists. This engine separates LIVE streams with bounded,
-structural latency using the causal TCN (models/tcn.py, ``causal=True``):
+structural latency using either causal architecture:
+
+- the causal TCN (models/tcn.py, ``causal=True``) — spectral masking;
+- causal Conv-TasNet (models/convtasnet.py, ``causal=True``) — time-
+  domain masking in the learned encoder basis. Its lookahead is one
+  encoder window (``filter_len`` samples: 4 ms at the 32/8 kHz default)
+  instead of the STFT path's n_fft/2 = 32 ms — the low-latency option.
+
+The TCN/spectral path works like this:
 
 - **causal network**: frame t's masks depend only on frames <= t, with
   exact per-block depthwise-conv context carried as state
@@ -18,7 +26,15 @@ structural latency using the causal TCN (models/tcn.py, ``causal=True``):
   normalizer is then final too), reproducing the offline
   ``istft_batch`` output including edge normalization.
 
-Two surfaces:
+The Conv-TasNet/time path is simpler: raw ``filter_len``-sample frames
+(stride ``stride``) -> encoder matmul -> causal separator with carried
+depthwise-conv state -> masked latents -> decoder matmul -> plain
+overlap-add (the learned decoder has no window normalization). No
+reflect padding exists, so the only algorithmic latency is the encoder
+window itself; output equals the offline ``separate()`` trimmed to the
+stream's true length (pinned by tests/test_streaming_time.py).
+
+Two surfaces (both dispatch on the model's DOMAIN):
 
 - :class:`StreamingSeparator` — one stream. One fixed-shape XLA program
   per chunk size; total latency = chunk duration + n_fft/2 samples +
@@ -78,6 +94,25 @@ def _chunk_program(cfg, params, conv_state, frames, advance, num_spk: int):
     spec_s = jnp.concatenate([re[:, None] * masks, im[:, None] * masks],
                              axis=-1)
     y = jnp.dot(spec_s, Bmat, precision=jax.lax.Precision.HIGHEST)
+    return y, new_state
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_spk"))
+def _time_chunk_program(cfg, params, conv_state, frames, advance, num_spk: int):
+    """(B, C, filter_len) raw sample frames -> (B, S, C, filter_len)
+    masked-and-decoded time frames + new conv state (causal Conv-TasNet).
+    Mirrors models/convtasnet._separate_core frame-for-frame: encoder
+    matmul -> streaming separator -> masked latents -> decoder matmul;
+    the host overlap-adds (no window normalization — learned decoder)."""
+    from ..models.convtasnet import streaming_forward
+    from ..ops.mxu import head_dot
+
+    w = jax.nn.relu(head_dot(frames, params["enc"], cfg.mxu_dtype))
+    masks, new_state = streaming_forward(cfg, params, w, conv_state)
+    adv = advance[:, None, None]
+    new_state = [jnp.where(adv, n, o) for n, o in zip(new_state, conv_state)]
+    masked = (w[:, :, None, :] * masks).transpose(0, 2, 1, 3)  # (B,S,C,N)
+    y = head_dot(masked, params["dec"], cfg.mxu_dtype)
     return y, new_state
 
 
@@ -207,20 +242,134 @@ class _StreamIO:
             num_frames(self._n_raw, self.hop), self.hop))
 
 
-class _Model:
-    """Loaded causal-TCN model shared by the streaming surfaces."""
+class _TimeStreamIO:
+    """Host-side bookkeeping for ONE time-domain (Conv-TasNet) stream.
+    Same interface as :class:`_StreamIO`, radically simpler math: frames
+    are raw ``filter_len``-sample windows at stride ``stride`` with no
+    center padding; the decoder's frames overlap-add directly with no
+    window-sum normalization. Sample s is final once every frame touching
+    it (frames k with k*stride <= s) has been accumulated, i.e. once
+    t_done*stride > s — so live latency is one encoder window plus the
+    chunk granularity. Frame count and tail zero-padding replicate
+    models/convtasnet.valid_latent_frames, so concatenated emissions
+    equal offline ``separate()`` trimmed to the true sample count."""
 
-    def __init__(self, model_path, model_kwargs, n_fft):
+    def __init__(self, num_spk: int, chunk_frames: int, filter_len: int,
+                 stride: int):
+        self.S, self.C = num_spk, chunk_frames
+        self.fl, self.st = filter_len, stride
+        self._idx = (np.arange(self.C)[:, None] * stride
+                     + np.arange(filter_len)[None, :])
+        self._buf = np.zeros((0,), np.float32)
+        self._buf_start = 0      # stream coordinate of _buf[0]
+        self._n_raw = 0          # total samples received
+        self._t_done = 0         # frames processed
+        self._ola = np.zeros((num_spk, 0), np.float32)
+        self._ola_start = 0
+        self._emitted = 0
+        self.closed = False
+
+    def feed(self, samples) -> None:
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        self._n_raw += len(samples)
+        self._buf = np.concatenate([self._buf, samples])
+
+    def _total_frames(self) -> int:
+        """Offline frame count: ceil(n/stride), >= 1 — exactly
+        convtasnet.valid_latent_frames for a generously padded batch."""
+        return max(1, -(-self._n_raw // self.st))
+
+    def has_chunk(self) -> bool:
+        need = (self._t_done + self.C - 1) * self.st + self.fl
+        return need <= self._buf_start + len(self._buf)
+
+    def take_chunk(self, tail: bool = False):
+        t0 = self._t_done
+        n_valid = min(self.C, self._total_frames() - t0) if tail else self.C
+        a = t0 * self.st - self._buf_start
+        need = (self.C - 1) * self.st + self.fl
+        seg = self._buf[a: a + need]
+        if len(seg) < need:  # tail frames read zeros past the stream end
+            seg = np.pad(seg, (0, need - len(seg)))
+        return seg[self._idx], n_valid
+
+    def accept(self, y: np.ndarray, n_valid: int) -> None:
+        """OLA ``n_valid`` frames of (S, C, filter_len) program output."""
+        y = y[:, :n_valid, :]
+        t0 = self._t_done
+        upto = (t0 + n_valid - 1) * self.st + self.fl
+        need = upto - self._ola_start - self._ola.shape[1]
+        if need > 0:
+            self._ola = np.pad(self._ola, [(0, 0), (0, need)])
+        for j in range(n_valid):
+            off = (t0 + j) * self.st - self._ola_start
+            self._ola[:, off: off + self.fl] += y[:, j, :]
+        self._t_done += n_valid
+        cut = self._t_done * self.st - self._buf_start
+        cut = max(0, min(cut, len(self._buf)))
+        if cut:
+            self._buf = self._buf[cut:]
+            self._buf_start += cut
+
+    def emit_live(self) -> list:
+        return self._emit(min(self._t_done * self.st, self._n_raw))
+
+    def _emit(self, upto: int) -> list:
+        n = upto - self._emitted
+        if n <= 0:
+            return [np.zeros(0, np.float32) for _ in range(self.S)]
+        a = self._emitted - self._ola_start
+        out = self._ola[:, a: a + n].astype(np.float32)
+        keep_from = max(0, min(self._t_done * self.st - self._ola_start,
+                               a + n))
+        self._ola = self._ola[:, keep_from:]
+        self._ola_start += keep_from
+        self._emitted = upto
+        return [out[s] for s in range(self.S)]
+
+    def start_close(self) -> int:
+        if self._n_raw < 1:
+            raise ValueError("stream too short (0 samples)")
+        return self._total_frames()
+
+    def finish_close(self) -> list:
+        return self._emit(self._n_raw)
+
+
+class _Model:
+    """Loaded causal streaming model shared by the streaming surfaces.
+    Accepts the causal TCN (spectral masking) or causal Conv-TasNet
+    (time-domain); exposes the per-domain chunk program, IO factory, and
+    stream-state initializer so the public surfaces stay domain-blind."""
+
+    def __init__(self, model_path, model_kwargs, n_fft, hop):
         self.arch, self.cfg, self.params, _ = load_model(
             model_path, model_kwargs=model_kwargs)
-        if self.arch.NAME != "TCN" or not getattr(self.cfg, "causal", False):
+        causal = getattr(self.cfg, "causal", False)
+        if self.arch.NAME not in ("TCN", "ConvTasNet") or not causal:
             raise ValueError(
-                "streaming needs a causal TCN model (models/tcn.py, "
-                f"causal=true); got arch={self.arch.NAME} "
-                f"causal={getattr(self.cfg, 'causal', False)}")
-        if self.cfg.feat_dim != n_fft // 2 + 1:
-            raise ValueError(f"model feat_dim {self.cfg.feat_dim} does not "
-                             f"match n_fft {n_fft}")
+                "streaming needs a causal model — TCN (models/tcn.py) or "
+                "ConvTasNet (models/convtasnet.py) with causal=true; got "
+                f"arch={self.arch.NAME} causal={causal}")
+        self.domain = getattr(self.arch, "DOMAIN", "spectrum")
+        if self.domain == "time":
+            self.program = _time_chunk_program
+            self._io_args = (self.cfg.filter_len, self.cfg.stride)
+            self.frame_width = self.cfg.filter_len
+        else:
+            if self.cfg.feat_dim != n_fft // 2 + 1:
+                raise ValueError(f"model feat_dim {self.cfg.feat_dim} does "
+                                 f"not match n_fft {n_fft}")
+            self.program = _chunk_program
+            self._io_args = (n_fft, hop)
+            self.frame_width = n_fft
+
+    def init_stream_state(self, batch: int):
+        return self.arch.init_stream_state(self.cfg, batch=batch)
+
+    def make_io(self, chunk_frames: int):
+        io_cls = _TimeStreamIO if self.domain == "time" else _StreamIO
+        return io_cls(self.cfg.num_spk, chunk_frames, *self._io_args)
 
 
 class StreamingSeparator:
@@ -230,21 +379,21 @@ class StreamingSeparator:
     the newly-finalized separated samples (S arrays, possibly empty);
     ``close()`` flushes the tail. Output sample s is emitted exactly once,
     in order, and the concatenated output per track equals the offline
-    pipeline's tracks (same hop*(T-1) length)."""
+    pipeline's tracks (spectral models: hop*(T-1) samples; time-domain
+    models: the stream's exact sample count)."""
 
     def __init__(self, model_path: str, chunk_frames: int = 16,
                  model_kwargs: dict | None = None, n_fft: int = 512,
                  hop: int = 128):
-        from ..models.tcn import init_stream_state
-        m = _Model(model_path, model_kwargs, n_fft)
+        self._m = m = _Model(model_path, model_kwargs, n_fft, hop)
         self.cfg, self.params = m.cfg, m.params
         self.S = self.cfg.num_spk
-        self._state = init_stream_state(self.cfg, batch=1)
-        self._io = _StreamIO(self.S, chunk_frames, n_fft, hop)
+        self._state = m.init_stream_state(batch=1)
+        self._io = m.make_io(chunk_frames)
         self._adv = jnp.ones((1,), jnp.float32)
 
     def _run(self, frames, n_valid):
-        y, self._state = _chunk_program(
+        y, self._state = self._m.program(
             self.cfg, self.params, self._state, jnp.asarray(frames[None]),
             self._adv, self.S)
         self._io.accept(np.asarray(y)[0], n_valid)
@@ -293,13 +442,11 @@ class StreamingPool:
     def __init__(self, model_path: str, capacity: int = 8,
                  chunk_frames: int = 16, model_kwargs: dict | None = None,
                  n_fft: int = 512, hop: int = 128):
-        from ..models.tcn import init_stream_state
-        m = _Model(model_path, model_kwargs, n_fft)
+        self._m = m = _Model(model_path, model_kwargs, n_fft, hop)
         self.cfg, self.params = m.cfg, m.params
         self.S = self.cfg.num_spk
         self.B, self.C = capacity, chunk_frames
-        self.n_fft, self.hop = n_fft, hop
-        self._state = init_stream_state(self.cfg, batch=capacity)
+        self._state = m.init_stream_state(batch=capacity)
         self._io: list = [None] * capacity
 
     def open(self) -> int:
@@ -307,8 +454,7 @@ class StreamingPool:
         stream's left zero-padding). Returns the slot id."""
         for slot in range(self.B):
             if self._io[slot] is None:
-                self._io[slot] = _StreamIO(self.S, self.C, self.n_fft,
-                                           self.hop)
+                self._io[slot] = self._m.make_io(self.C)
                 self._state = [st.at[slot].set(0.0) for st in self._state]
                 return slot
         raise RuntimeError(f"pool full ({self.B} slots)")
@@ -321,12 +467,12 @@ class StreamingPool:
 
     def _run_batched(self, per_slot: dict) -> None:
         """per_slot: {slot: (frames, n_valid)} — one batched chunk."""
-        frames = np.zeros((self.B, self.C, self.n_fft), np.float32)
+        frames = np.zeros((self.B, self.C, self._m.frame_width), np.float32)
         adv = np.zeros((self.B,), np.float32)
         for slot, (f, _nv) in per_slot.items():
             frames[slot] = f
             adv[slot] = 1.0
-        y, self._state = _chunk_program(
+        y, self._state = self._m.program(
             self.cfg, self.params, self._state, jnp.asarray(frames),
             jnp.asarray(adv), self.S)
         y = np.asarray(y)

@@ -279,6 +279,51 @@ def pairwise_neg_si_snr(est, ref, smask, eps: float = 1e-8):
     return -si_snr
 
 
+def init_stream_state(cfg: Config, batch: int = 1):
+    """Zeroed per-block depthwise-conv context — (B, (K-1)*d, hidden) per
+    block, exactly like tcn.init_stream_state. Zeros reproduce the offline
+    causal conv's left zero-padding, so a stream started from this state
+    matches the offline forward bit-for-bit."""
+    return [jnp.zeros((batch, (cfg.kernel - 1) * d, cfg.hidden), jnp.float32)
+            for d in cfg.dilations()]
+
+
+def streaming_forward(cfg: Config, params, w, conv_state):
+    """One chunk of the causal separator with explicit conv context.
+
+    w: (B, C, n_filters) encoder latents (all frames real — streaming has
+    no padding, so the causal cLN path needs no tmask); conv_state from
+    init_stream_state / a previous call. Returns (masks (B, C, S, N),
+    new_conv_state). Equivalent to the offline _mask_logits on the
+    concatenated stream: every op except the depthwise conv is per-frame,
+    and the conv sees its full left context via the carried state (VALID
+    conv over concat(state, y))."""
+    assert cfg.causal, "streaming_forward requires a causal config"
+    h = _dot(_cln(w, params["in_ln"]), params["bottleneck"], cfg.mxu_dtype)
+    new_state = []
+    for i, blk in enumerate(params["blocks"]):
+        dilation = 2 ** (i % cfg.blocks)
+        y = _dot(h, blk["expand"], cfg.mxu_dtype)
+        y = _cln(_prelu(y, blk["prelu1"]), blk["ln1"])
+        ctx = jnp.concatenate([conv_state[i], y], axis=1)
+        new_state.append(ctx[:, ctx.shape[1] - conv_state[i].shape[1]:, :])
+        y = jax.lax.conv_general_dilated(
+            ctx, blk["dw"][:, None, :], window_strides=(1,),
+            padding=[(0, 0)], rhs_dilation=(dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=ctx.shape[-1]) + blk["dw_b"]
+        y = _cln(_prelu(y, blk["prelu2"]), blk["ln2"])
+        h = h + _dot(y, blk["res"], cfg.mxu_dtype)
+        s = _dot(y, blk["skip"], cfg.mxu_dtype)
+        skips = s if i == 0 else skips + s
+    out = _dot(_prelu(skips, params["head_prelu"]), params["head"],
+               cfg.mxu_dtype)
+    B, C, _ = out.shape
+    out = out.reshape(B, C, cfg.num_spk, cfg.n_filters)
+    act = jax.nn.relu if cfg.mask_act == "relu" else jax.nn.sigmoid
+    return act(out), new_state
+
+
 def loss_fn(cfg: Config, params, state, batch, rng, train: bool):
     """uPIT over negative SI-SNR on waveforms. aux mirrors the spectral
     archs' contract: 'total'/'norm' feed the loop's norm-weighted epoch
