@@ -132,19 +132,27 @@ def _score_device(jobs, log, slab: int = 64, pad_quantum: int = 8000,
     global_pad = ((max(hdr_len.values()) + pad_quantum - 1)
                   // pad_quantum) * pad_quantum if single_shape else None
 
+    n_data = mesh.shape["data"] if mesh is not None and mesh.size > 1 else 1
     slabs = []
     for num_src, group in by_count.items():
         group = sorted(group, key=lambda job: hdr_len[job[0]])
-        step = slab
-        if global_pad is not None:
-            # size slabs as a whole number of device chunks so full slabs
-            # split with no ragged (row-padded) tail chunk
-            mb = default_max_batch(num_src, global_pad) * (
-                mesh.shape["data"] if mesh is not None and mesh.size > 1
-                else 1)
-            step = mb * max(1, slab // mb)
+        # Device chunk for this group (per-chip rows x mesh data axis),
+        # from the best length estimate each shape regime has; slabs are a
+        # whole number of chunks so full slabs split with no ragged tail.
+        len_est = global_pad if global_pad is not None else (
+            (max(hdr_len[j[0]] for j in group) + pad_quantum - 1)
+            // pad_quantum * pad_quantum)
+        mb_chip = default_max_batch(num_src, len_est)
+        mb = mb_chip * n_data
+        step = mb * max(1, slab // mb)
+        # Row-pad ragged tails up to the chunk ONLY when this group runs at
+        # least one full chunk (so the padded tail reuses that warm
+        # executable). A group smaller than one chunk would pay BOTH a
+        # fresh full-chunk compile and up to mb/B x wasted FLOPs — e.g. a
+        # 4-utterance set padded to a 512-row chunk on an 8-device mesh.
+        pad = len(group) >= mb
         for s in range(0, len(group), step):
-            slabs.append((num_src, group[s: s + step]))
+            slabs.append((num_src, group[s: s + step], mb_chip, pad))
 
     def load_slab(num_src, chunk):
         return [_load_case(utt, mp, num_src, ed) for utt, mp, _n, ed in chunk]
@@ -187,26 +195,26 @@ def _score_device(jobs, log, slab: int = 64, pad_quantum: int = 8000,
     t_dev_first = None  # first slab carries the compile
     with ThreadPoolExecutor(max_workers=2) as pool:
         depth = 2
-        futs = [pool.submit(load_slab, *slabs[k])
+        futs = [pool.submit(load_slab, slabs[k][0], slabs[k][1])
                 for k in range(min(depth, len(slabs)))]
-        for k, (num_src, chunk) in enumerate(slabs):
+        for k, (num_src, chunk, mb_chip, pad) in enumerate(slabs):
             t0 = _time.monotonic()
             cases = futs[k].result()
             t_loadwait += _time.monotonic() - t0
             if k + depth < len(slabs):
-                futs.append(pool.submit(load_slab, *slabs[k + depth]))
+                futs.append(pool.submit(load_slab, slabs[k + depth][0],
+                                        slabs[k + depth][1]))
             t0 = _time.monotonic()
             refs, ests = pack_slabs(cases, num_src)
             t_pack += _time.monotonic() - t0
             t0 = _time.monotonic()
-            # pad_to_chunk: a slab smaller than one device chunk (the tail
-            # of a group) row-pads to chunk size and reuses the warm
-            # executable instead of compiling an exact-shape program. In
-            # the per-slab-length regime the pad quantum makes slab shapes
-            # recur, so this helps there too; worst case it wastes a few
-            # padded rows, never a compile
+            # pad_to_chunk (gated at slab construction): a slab smaller
+            # than one device chunk (the tail of a group) row-pads to chunk
+            # size and reuses the group's warm executable instead of
+            # compiling an exact-shape program; max_batch is pinned to the
+            # group-level chunk so every slab of a group chunks identically
             sdr, sir, sar, perm = bss_eval_sources_batch(
-                refs, ests, mesh=mesh, pad_to_chunk=True)
+                refs, ests, mesh=mesh, max_batch=mb_chip, pad_to_chunk=pad)
             dt = _time.monotonic() - t0
             t_dev += dt
             if t_dev_first is None:
