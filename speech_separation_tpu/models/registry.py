@@ -19,9 +19,10 @@ from __future__ import annotations
 
 import importlib
 
-from . import upit, rsh, tcn, convtasnet
+from . import upit, rsh, tcn, convtasnet, dprnn
 
-ARCHS = {"uPIT": upit, "RSH": rsh, "TCN": tcn, "ConvTasNet": convtasnet}
+ARCHS = {"uPIT": upit, "RSH": rsh, "TCN": tcn, "ConvTasNet": convtasnet,
+         "DPRNN": dprnn}
 
 
 def domain(arch) -> str:
