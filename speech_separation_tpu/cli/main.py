@@ -226,11 +226,14 @@ def cmd_separate(args):
                               mesh=_data_mesh(args))
     os.makedirs(args.out_dir, exist_ok=True)
 
-    from ..utils.audio import separated_track_paths
+    from ..utils.audio import limit_peak, separated_track_paths
 
     def write(path, ests):
+        # one shared gain per utterance keeps SI-SNR-scaled time-domain
+        # tracks inside the int16 wav range (scoring-invariant)
         for out_path, est in zip(
-                separated_track_paths(args.out_dir, path, len(ests)), ests):
+                separated_track_paths(args.out_dir, path, len(ests)),
+                limit_peak(ests)):
             write_wav_int16(out_path, cfg.sample_rate, est)
 
     if args.long_form:
@@ -561,7 +564,8 @@ def _run_eval_fused(args, test_sets, model, model_path, model_config):
     from ..datadir.scp import read_scp
     from ..dsp import STFTConfig
     from ..eval.pipeline import SeparationPipeline
-    from ..utils.audio import load_wav, wav_num_samples, write_wav_int16
+    from ..utils.audio import (limit_peak, load_wav, wav_num_samples,
+                               write_wav_int16)
 
     cfg = STFTConfig(n_fft=args.fft_dim, hop=args.step_size,
                      sample_rate=args.sample_rate)
@@ -578,7 +582,10 @@ def _run_eval_fused(args, test_sets, model, model_path, model_config):
         n = 0
         for i, ests in pipe.separate_stream(loader, lengths):
             utt = entries[i][0]
-            for s, est in enumerate(ests):
+            # shared per-utterance gain: SI-SNR-scaled time-domain tracks
+            # can peak past 1.0 and would saturate the int16 wavs
+            # (scoring is scale-invariant, so the gain is free)
+            for s, est in enumerate(limit_peak(ests)):
                 path = os.path.join(out_dir, "wav", f"s{s + 1}", utt + ".wav")
                 os.makedirs(os.path.dirname(path), exist_ok=True)
                 write_wav_int16(path, cfg.sample_rate, est)

@@ -420,8 +420,8 @@ class SeparationServer:
 
     def _run_batched(self, ps: list[_Pending], num_spk: int | None) -> None:
         """Coalesce every wav of every request into one streaming pass."""
-        from ..utils.audio import (load_wav, separated_track_paths,
-                                   write_wav_int16)
+        from ..utils.audio import (limit_peak, load_wav,
+                                   separated_track_paths, write_wav_int16)
         sr = self.pipe.stft_cfg.sample_rate
         flat: list[tuple[_Pending, str]] = [
             (p, w) for p in ps for w in p.payload["wavs"]]
@@ -450,7 +450,9 @@ class SeparationServer:
                 failures[id(p)].append(f"{wav}: {load_errors[i]}")
             else:
                 paths = separated_track_paths(p.payload["out_dir"], wav, S)
-                for path, est in zip(paths, tracks):
+                # shared per-utterance gain: SI-SNR-scaled time-domain
+                # tracks can peak past 1.0 (int16 wavs would saturate)
+                for path, est in zip(paths, limit_peak(tracks)):
                     write_wav_int16(path, sr, est)
                 outputs[id(p)][wav] = paths
             remaining[id(p)] -= 1
@@ -466,8 +468,8 @@ class SeparationServer:
                               "ms": ms})
 
     def _run_long_form(self, ps: list[_Pending], num_spk: int | None) -> None:
-        from ..utils.audio import (load_wav, separated_track_paths,
-                                   write_wav_int16)
+        from ..utils.audio import (limit_peak, load_wav,
+                                   separated_track_paths, write_wav_int16)
         sr = self.pipe.stft_cfg.sample_rate
         S = num_spk or self.pipe.num_spk
         for p in ps:
@@ -483,7 +485,7 @@ class SeparationServer:
                     x, _ = load_wav(wav, sr=sr)
                     tracks = self.pipe.separate_long(x, num_spk, **kw)
                     paths = separated_track_paths(p.payload["out_dir"], wav, S)
-                    for path, est in zip(paths, tracks):
+                    for path, est in zip(paths, limit_peak(tracks)):
                         write_wav_int16(path, sr, est)
                     outs[wav] = paths
             except Exception as e:

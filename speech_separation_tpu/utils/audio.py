@@ -97,8 +97,30 @@ def wav_num_samples(path: str) -> int:
 
 def write_wav_int16(path: str, sr: int, x: np.ndarray) -> None:
     """Write float waveform as int16 with the reference's x*32767 scaling
-    (reference steps/reconstruct_sources.py:41-42)."""
-    wavfile.write(path, sr, (np.asarray(x) * 32767.0).astype(np.int16))
+    (reference steps/reconstruct_sources.py:41-42), SATURATED at the int16
+    range — byte-identical to the reference for in-range samples (the
+    clip is a no-op), but a sample past +-1.0 clips instead of WRAPPING
+    (the reference's bare astype turns a +1.1 peak into -0.9). Masked
+    iSTFT tracks stay in range so the parity paths never hit the clip;
+    SI-SNR-trained time-domain models emit arbitrarily-scaled tracks and
+    regularly do — those writers should prefer limit_peak(), which keeps
+    the waveform shape with one per-utterance gain."""
+    y = np.asarray(x) * 32767.0
+    wavfile.write(path, sr, np.clip(y, -32768.0, 32767.0).astype(np.int16))
+
+
+def limit_peak(tracks, limit: float = 32767.0 / 32768.0) -> list:
+    """One shared gain bringing every track of an utterance within the
+    int16-representable range (no-op when already in range). Shared —
+    not per-track — so relative inter-track loudness is preserved;
+    BSS-eval/SI-SDR scoring is invariant to a per-source scale, so
+    scores of the written wavs equal scores of the raw tracks."""
+    peak = max((float(np.max(np.abs(t))) if len(t) else 0.0)
+               for t in tracks)
+    if peak <= limit:
+        return list(tracks)
+    g = limit / peak
+    return [np.asarray(t) * g for t in tracks]
 
 
 def separated_track_paths(out_dir: str, wav_path: str,
