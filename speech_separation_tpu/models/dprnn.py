@@ -217,6 +217,12 @@ def _dual_path(cfg: Config, params, h, vt, C: int):
     zeros1 = jnp.zeros((1, 2, B * C, hid), jnp.float32)
     zeros2 = jnp.zeros((1, 2, B * K, hid), jnp.float32)
     dt = cfg.mxu_dtype
+    # Always the lax.scan recurrence, never the Pallas kernel: dual-path
+    # batches thousands of rows per scan (B*C / B*K), so each step's
+    # hidden matmul is already MXU-shaped and weight re-streaming is
+    # negligible next to activation traffic — while the kernel's
+    # all-rows-resident VMEM blocking overflows scoped VMEM at exactly
+    # these row counts (97 MB at B=32, K=100 reference-demo scale).
     for blk in params["blocks"]:
         # intra-chunk: BLSTM over the K frames of every chunk, batched
         # over B*C rows (the MXU-saturating axis); per-chunk true lengths
@@ -225,7 +231,8 @@ def _dual_path(cfg: Config, params, h, vt, C: int):
         x = h.reshape(B * C, K, H)
         y, _ = blstm_forward(blk["intra_rnn"], x,
                              clens.reshape(B * C).astype(jnp.int32),
-                             zeros1, zeros1, compute_dtype=dt)
+                             zeros1, zeros1, compute_dtype=dt,
+                             use_pallas=False)
         y = _dot(y, blk["intra_proj"], dt).reshape(B, C, K, H)
         h = (h + _gln_nd(y, blk["intra_ln"], cmask)) * cmask
         # inter-chunk: BLSTM along the chunk axis for every within-chunk
@@ -234,7 +241,8 @@ def _dual_path(cfg: Config, params, h, vt, C: int):
         x = h.transpose(0, 2, 1, 3).reshape(B * K, C, H)
         ilens = jnp.broadcast_to(n_chunks[:, None], (B, K)).reshape(B * K)
         y, _ = blstm_forward(blk["inter_rnn"], x, ilens.astype(jnp.int32),
-                             zeros2, zeros2, compute_dtype=dt)
+                             zeros2, zeros2, compute_dtype=dt,
+                             use_pallas=False)
         y = _dot(y, blk["inter_proj"], dt)
         y = y.reshape(B, K, C, H).transpose(0, 2, 1, 3)
         h = (h + _gln_nd(y, blk["inter_ln"], cmask)) * cmask
