@@ -64,6 +64,53 @@ def bench_train_step(B=100, T=384, iters=20, compute_dtype="bfloat16",
             "compile_s": compile_s, "loss": final_loss}
 
 
+def bench_train_step_wave(arch_name: str, B=32, n_sec=4.0, iters=10,
+                          compute_dtype="bfloat16"):
+    """Full train step of a DOMAIN='time' arch (waveform batches, SI-SNR
+    uPIT) at production scale: full-size model defaults, B utterances of
+    n_sec 8 kHz audio. remat on (the activation footprint of 24 dilated
+    blocks over ~2000 latent frames is the binding constraint, exactly as
+    production training would run it)."""
+    import jax
+    import jax.numpy as jnp
+    from speech_separation_tpu.models.registry import get_arch
+    from speech_separation_tpu.train.loop import (TrainLoopConfig,
+                                                  make_optimizer,
+                                                  make_update_step)
+
+    arch = get_arch(arch_name)
+    cfg = arch.Config(compute_dtype=compute_dtype, remat=True)
+    params, state = arch.init(jax.random.PRNGKey(0), cfg)
+    optimizer = make_optimizer(TrainLoopConfig())
+    opt_state = optimizer.init(params)
+    step = make_update_step(arch, cfg, optimizer)
+
+    rng = np.random.default_rng(0)
+    L = int(n_sec * 8000)
+    srcs = (0.1 * rng.standard_normal((B, cfg.num_spk, L))).astype(np.float32)
+    batch = {
+        "mix_wav": jnp.asarray(srcs.sum(axis=1)),
+        "source_wavs": jnp.asarray(srcs),
+        "sample_lengths": jnp.asarray(np.full(B, L, np.int32)),
+        "row_mask": jnp.asarray(np.ones(B, np.float32)),
+    }
+    key = jax.random.PRNGKey(1)
+
+    t0 = time.time()
+    params, state, opt_state, loss, norm = step(params, state, opt_state,
+                                                batch, key)
+    float(loss)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for _ in range(iters):
+        params, state, opt_state, loss, norm = step(params, state, opt_state,
+                                                    batch, key)
+    float(loss)
+    dt = (time.time() - t0) / iters
+    return {"utts_per_sec": B / dt, "step_ms": dt * 1e3,
+            "audio_sec_per_sec": B * n_sec / dt, "compile_s": compile_s}
+
+
 def bench_dsp_bandwidth(B=64, n_sec=6.0, iters=20):
     """Fused STFT -> unit-mask -> iSTFT roundtrip bandwidth (GB/s of audio
     samples in + out, the BASELINE.json feat-extract+iSTFT metric)."""
@@ -240,7 +287,13 @@ def main():
     # pure MXU matmuls/convs — the framework-native arch's throughput
     _phase(f"RSH done: {train_rsh['step_ms']:.1f} ms; TCN next")
     train_tcn = bench_train_step(iters=10, arch_name="TCN")
-    _phase(f"TCN done: {train_tcn['step_ms']:.1f} ms; dsp next")
+    # the time-domain archs (waveform batches, SI-SNR uPIT) at full-size
+    # defaults on 4 s utterances — the post-reference families
+    _phase(f"TCN done: {train_tcn['step_ms']:.1f} ms; ConvTasNet next")
+    train_ctn = bench_train_step_wave("ConvTasNet")
+    _phase(f"ConvTasNet done: {train_ctn['step_ms']:.1f} ms; DPRNN next")
+    train_dprnn = bench_train_step_wave("DPRNN")
+    _phase(f"DPRNN done: {train_dprnn['step_ms']:.1f} ms; dsp next")
     dsp_res = bench_dsp_bandwidth()
     _phase("dsp done; serving next")
     serve_res = bench_serving()
@@ -262,6 +315,12 @@ def main():
             "rsh_step_ms": round(train_rsh["step_ms"], 2),
             "tcn_utts_per_sec": round(train_tcn["utts_per_sec"], 2),
             "tcn_step_ms": round(train_tcn["step_ms"], 2),
+            "convtasnet_utts_per_sec": round(train_ctn["utts_per_sec"], 2),
+            "convtasnet_step_ms": round(train_ctn["step_ms"], 2),
+            "convtasnet_audio_sec_per_sec": round(
+                train_ctn["audio_sec_per_sec"], 0),
+            "dprnn_utts_per_sec": round(train_dprnn["utts_per_sec"], 2),
+            "dprnn_step_ms": round(train_dprnn["step_ms"], 2),
             "baseline_utts_per_sec": baseline_utts,
             "baseline_hw": "torch-CPU (reference semantics; no GPU here, no published numbers)",
             "dsp_roundtrip_gb_per_sec": round(dsp_res["gb_per_sec"], 2),

@@ -71,7 +71,8 @@ def random_hidden(key, num_layers: int, batch: int, hidden: int):
 
 
 def _lstm_scan(xw: jnp.ndarray, mask: jnp.ndarray, w_hh: jnp.ndarray,
-               h0: jnp.ndarray, c0: jnp.ndarray, compute_dtype=jnp.float32):
+               h0: jnp.ndarray, c0: jnp.ndarray, compute_dtype=jnp.float32,
+               remat_step: bool = False):
     """Run one direction's recurrence.
 
     xw:   (T, D, B, 4H) precomputed x @ W_ih + b (direction-stacked)
@@ -106,6 +107,13 @@ def _lstm_scan(xw: jnp.ndarray, mask: jnp.ndarray, w_hh: jnp.ndarray,
         c = m * c_new + (1.0 - m) * c
         return (h, c), m * h_new
 
+    if remat_step:
+        # save only the (h, c) carries per step; the backward recomputes
+        # the gate math (and the hidden matmul) instead of materializing
+        # (T, D, B, 4H) gate residuals — the memory lever for scans over
+        # very large row batches (DPRNN's B*C / B*K rows: the unrematted
+        # residuals measure in GB per scan at production scale)
+        step = jax.checkpoint(step)
     final, ys = jax.lax.scan(step, (h0, c0), (xw, mask), unroll=8)
     return ys, final
 
@@ -116,7 +124,8 @@ def blstm_forward(params, x: jnp.ndarray, lengths: jnp.ndarray,
                   h0: jnp.ndarray, c0: jnp.ndarray,
                   compute_dtype=jnp.float32,
                   use_pallas: bool | None = None,
-                  save_activations: bool = True) -> jnp.ndarray:
+                  save_activations: bool = True,
+                  remat_scan_step: bool = False) -> jnp.ndarray:
     """Multi-layer bidirectional LSTM.
 
     Args:
@@ -198,7 +207,8 @@ def blstm_forward(params, x: jnp.ndarray, lengths: jnp.ndarray,
                     c0[layer_idx], lengths, suffix_dirs=(False, True))
         else:
             ys, ((hf, hb), (cf, cb)) = _lstm_scan(
-                xw, mask_scan, w_hh, h0[layer_idx], c0[layer_idx], compute_dtype)
+                xw, mask_scan, w_hh, h0[layer_idx], c0[layer_idx],
+                compute_dtype, remat_step=remat_scan_step)
         y_fwd = ys[:, 0].transpose(1, 0, 2)
         # outputs at suffix-masked (flipped-padding) steps are already zero,
         # so flipping back restores zeros past each row's length — no mask

@@ -217,35 +217,50 @@ def _dual_path(cfg: Config, params, h, vt, C: int):
     zeros1 = jnp.zeros((1, 2, B * C, hid), jnp.float32)
     zeros2 = jnp.zeros((1, 2, B * K, hid), jnp.float32)
     dt = cfg.mxu_dtype
+    ilens = jnp.broadcast_to(n_chunks[:, None], (B, K)
+                             ).reshape(B * K).astype(jnp.int32)
+    klens = clens.reshape(B * C).astype(jnp.int32)
+
     # Always the lax.scan recurrence, never the Pallas kernel: dual-path
     # batches thousands of rows per scan (B*C / B*K), so each step's
     # hidden matmul is already MXU-shaped and weight re-streaming is
     # negligible next to activation traffic — while the kernel's
     # all-rows-resident VMEM blocking overflows scoped VMEM at exactly
     # these row counts (97 MB at B=32, K=100 reference-demo scale).
-    for blk in params["blocks"]:
+    def one_block(blk, h, klens, ilens, cmask):
         # intra-chunk: BLSTM over the K frames of every chunk, batched
         # over B*C rows (the MXU-saturating axis); per-chunk true lengths
         # keep the backward direction's start pinned to each chunk's last
         # real frame (padding invariance)
         x = h.reshape(B * C, K, H)
-        y, _ = blstm_forward(blk["intra_rnn"], x,
-                             clens.reshape(B * C).astype(jnp.int32),
+        y, _ = blstm_forward(blk["intra_rnn"], x, klens,
                              zeros1, zeros1, compute_dtype=dt,
-                             use_pallas=False)
+                             use_pallas=False, remat_scan_step=cfg.remat)
         y = _dot(y, blk["intra_proj"], dt).reshape(B, C, K, H)
         h = (h + _gln_nd(y, blk["intra_ln"], cmask)) * cmask
         # inter-chunk: BLSTM along the chunk axis for every within-chunk
         # position, batched over B*K rows; per-row true chunk counts keep
         # trailing all-pad chunks out of the backward direction
         x = h.transpose(0, 2, 1, 3).reshape(B * K, C, H)
-        ilens = jnp.broadcast_to(n_chunks[:, None], (B, K)).reshape(B * K)
-        y, _ = blstm_forward(blk["inter_rnn"], x, ilens.astype(jnp.int32),
+        y, _ = blstm_forward(blk["inter_rnn"], x, ilens,
                              zeros2, zeros2, compute_dtype=dt,
-                             use_pallas=False)
+                             use_pallas=False, remat_scan_step=cfg.remat)
         y = _dot(y, blk["inter_proj"], dt)
         y = y.reshape(B, K, C, H).transpose(0, 2, 1, 3)
-        h = (h + _gln_nd(y, blk["inter_ln"], cmask)) * cmask
+        return (h + _gln_nd(y, blk["inter_ln"], cmask)) * cmask
+
+    # remat is applied HERE, per dual-path block, not around the whole
+    # core: a scan's backward saves per-step gate/carry residuals, so 12
+    # unrematted scans at production scale hold tens of GB (measured
+    # 57 GB at B=32, 4 s audio — an HBM OOM); a whole-core checkpoint
+    # would not shrink that peak (the recomputed forward re-saves every
+    # scan's residuals at once). Per-block checkpointing bounds live
+    # residuals to ONE block's two scans while the rest of the trunk
+    # keeps only its (B, C, K, H) block inputs.
+    if cfg.remat:
+        one_block = jax.checkpoint(one_block)
+    for blk in params["blocks"]:
+        h = one_block(blk, h, klens, ilens, cmask)
     return h, cmask
 
 
@@ -300,10 +315,9 @@ def loss_fn(cfg: Config, params, state, batch, rng, train: bool):
     mix, srcs = batch["mix_wav"], batch["source_wavs"]
     n, row_mask = batch["sample_lengths"], batch["row_mask"]
     L = mix.shape[-1]
-    sep = _separate_core
-    if cfg.remat:
-        sep = jax.checkpoint(_separate_core, static_argnums=(0,))
-    est = sep(cfg, params, mix, n)
+    # cfg.remat acts per dual-path block inside _dual_path (see there) —
+    # a whole-core checkpoint would not reduce the scans' residual peak
+    est = _separate_core(cfg, params, mix, n)
     smask = (jnp.arange(L)[None, :] < n[:, None]).astype(jnp.float32)
     pair = pairwise_neg_si_snr(est * smask[:, None, :], srcs, smask)
     min_losses, best_perm = permutation_min_loss(pair, cfg.num_spk)
