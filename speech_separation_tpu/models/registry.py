@@ -19,10 +19,10 @@ from __future__ import annotations
 
 import importlib
 
-from . import upit, rsh, tcn, convtasnet, dprnn
+from . import upit, rsh, tcn, convtasnet, dprnn, sepformer
 
 ARCHS = {"uPIT": upit, "RSH": rsh, "TCN": tcn, "ConvTasNet": convtasnet,
-         "DPRNN": dprnn}
+         "DPRNN": dprnn, "SepFormer": sepformer}
 
 
 def domain(arch) -> str:
