@@ -14,7 +14,7 @@ conventions survive:
 
 Subcommands: prepare, validate, split, extract, pack-features, train,
 eval-masks, reconstruct, stage-data, separate, serve, score, oracle, info,
-bench, doctor, import-model, run-train, run-eval.
+bench, doctor, import-model, export-model, run-train, run-eval.
 """
 
 from __future__ import annotations
@@ -487,6 +487,13 @@ def cmd_import_model(args):
     import_reference_model(args.mdl_path, args.out_path)
 
 
+def cmd_export_model(args):
+    """Native checkpoint -> reference torch .mdl (the reverse migration:
+    train here, evaluate with the reference recipe or any torch stack)."""
+    from ..utils.import_torch import export_reference_model
+    export_reference_model(args.ckpt_path, args.out_path)
+
+
 def cmd_run_train(args):
     """Staged training recipe (reference run_train.sh)."""
     datasets = [args.train_set] + ([args.cv_set] if args.cv_set else [])
@@ -919,6 +926,14 @@ def build_parser():
     p.add_argument("mdl_path")
     p.add_argument("out_path")
     p.set_defaults(fn=cmd_import_model)
+
+    p = sub.add_parser("export-model",
+                       help="convert a native checkpoint (uPIT/RSH) into a "
+                            "reference torch .mdl state-dict, loadable by "
+                            "the reference recipe or any torch pipeline")
+    p.add_argument("ckpt_path")
+    p.add_argument("out_path")
+    p.set_defaults(fn=cmd_export_model)
 
     p = sub.add_parser("run-train", help="staged training recipe")
     p.add_argument("--stage", type=int, default=0)

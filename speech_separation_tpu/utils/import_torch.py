@@ -108,6 +108,67 @@ def params_from_state_dict(sd: dict):
     return params, state, info
 
 
+def state_dict_from_params(params, state) -> dict:
+    """Inverse of params_from_state_dict: a numpy state dict in the
+    reference SepDNN layout (archs/uPIT.py:97-127 attribute names: blstm /
+    bn / lin), loadable by ``model.load_state_dict`` on either reference
+    arch. The framework stores the algebraic sum of torch's two LSTM bias
+    vectors (models/blstm.py), so the split back is non-unique; the full
+    bias goes to ``bias_ih`` with ``bias_hh`` zeroed — torch adds them, so
+    every forward is unchanged. ``bn.num_batches_tracked`` is synthesized
+    (modern torch's strict load_state_dict requires it; eval never reads
+    it)."""
+    blstm = params["blstm"]
+    if isinstance(blstm, dict):  # raw msgpack checkpoint: keys "0".."N-1"
+        blstm = [blstm[k] for k in sorted(blstm, key=int)]
+    tT = lambda a: np.ascontiguousarray(np.asarray(a, np.float32).T)
+    f32 = lambda a: np.asarray(a, np.float32)
+    sd = {}
+    for li, directions in enumerate(blstm):
+        for direction, sfx in (("fwd", ""), ("bwd", "_reverse")):
+            d = directions[direction]
+            sd[f"blstm.weight_ih_l{li}{sfx}"] = tT(d["w_ih"])
+            sd[f"blstm.weight_hh_l{li}{sfx}"] = tT(d["w_hh"])
+            sd[f"blstm.bias_ih_l{li}{sfx}"] = f32(d["b"])
+            sd[f"blstm.bias_hh_l{li}{sfx}"] = np.zeros_like(f32(d["b"]))
+    sd["bn.weight"] = f32(params["bn"]["gamma"])
+    sd["bn.bias"] = f32(params["bn"]["beta"])
+    sd["bn.running_mean"] = f32(state["bn"]["mean"])
+    sd["bn.running_var"] = f32(state["bn"]["var"])
+    sd["bn.num_batches_tracked"] = np.asarray(1, np.int64)
+    sd["lin.weight"] = tT(params["lin"]["w"])
+    sd["lin.bias"] = f32(params["lin"]["b"])
+    return sd
+
+
+def export_reference_model(ckpt_path: str, out_path: str, log=print) -> dict:
+    """Native checkpoint -> reference torch .mdl: lets a model trained here
+    be evaluated by the reference recipe (steps/eval_qsub.py:67 loads
+    ``torch.load`` state-dicts) or any torch pipeline. Only the BLSTM
+    mask-estimation archs (uPIT/RSH) have a reference counterpart; the
+    time-domain archs raise. Returns the inferred model info (same shape
+    inference as import)."""
+    import torch
+
+    from ..train.checkpoint import load_checkpoint
+
+    payload = load_checkpoint(ckpt_path)
+    arch = payload["meta"].get("arch", "uPIT")
+    if arch not in ("uPIT", "RSH"):
+        raise ValueError(
+            f"{ckpt_path} holds a {arch!r} model; only the reference archs "
+            "(uPIT, RSH) can be exported to the reference .mdl format")
+    sd_np = state_dict_from_params(payload["params"], payload["state"])
+    info = infer_model_info(sd_np)  # validates layout + round-trip shapes
+    # copy: checkpoint leaves can be read-only views; torch wants writable
+    sd = {k: torch.from_numpy(np.array(v)) for k, v in sd_np.items()}
+    torch.save(sd, out_path)
+    log(f"exported {info['arch']} model ({info['num_layers']}x"
+        f"{info['hidden']} BLSTM, feat_dim {info['feat_dim']}) "
+        f"-> {out_path} (reference torch state-dict)")
+    return info
+
+
 def import_reference_model(mdl_path: str, out_path: str, log=print) -> dict:
     """Convert a reference .mdl into a native checkpoint ready for
     eval-masks / run-eval. Returns the inferred model info."""
