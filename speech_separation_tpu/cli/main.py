@@ -600,44 +600,64 @@ def _run_eval_fused(args, test_sets, model, model_path, model_config):
         print(f"separated {n} mixtures -> {out_dir}/wav")
 
 
+def _models_to_eval(args):
+    """[(label, checkpoint_path)] for run-eval. One model normally
+    (final, or --intermediate-model-num N — qsub_eval.sh:47-53); every
+    saved checkpoint with --sweep-intermediates (the reference user's
+    manual which-epoch-is-best loop, automated)."""
+    inter_dir = os.path.join(args.model_dir, "intermediate_models")
+    if getattr(args, "sweep_intermediates", False):
+        models = []
+        if os.path.isdir(inter_dir):
+            for name in sorted(os.listdir(inter_dir)):
+                if name.endswith(".mdl"):
+                    epoch = os.path.splitext(name)[0]
+                    # reference output-dir convention is the un-padded
+                    # epoch number (run_eval.sh model=$intermediate_model_num)
+                    label = str(int(epoch)) if epoch.isdigit() else epoch
+                    models.append((label, os.path.join(inter_dir, name)))
+        final = os.path.join(args.model_dir, "final.mdl")
+        if os.path.isfile(final):
+            models.append(("final", final))
+        if not models:
+            raise SystemExit(f"--sweep-intermediates: no checkpoints under "
+                             f"{args.model_dir}")
+        return models
+    if args.intermediate_model_num:
+        n = int(args.intermediate_model_num)
+        return [(args.intermediate_model_num,
+                 os.path.join(inter_dir, f"{n:03d}.mdl"))]
+    return [("final", os.path.join(args.model_dir, "final.mdl"))]
+
+
+def _write_sweep_results(model_dir, ds, rows):
+    """rows: [(label, means dict)]. One table per test set; the best model
+    by SDR is flagged so the pick is one grep away."""
+    out_dir = os.path.join(model_dir, "sweep_results")
+    os.makedirs(out_dir, exist_ok=True)
+    best = max(rows, key=lambda r: r[1]["SDR"])[0]
+    path = os.path.join(out_dir, f"{ds}.txt")
+    keys = ("SDR", "SIR", "SAR", "SI-SDR", "SI-SDRi")
+    with open(path, "w") as f:
+        f.write("model " + " ".join(keys) + " best\n")
+        for label, means in rows:
+            vals = " ".join(f"{means[k]:.4f}" for k in keys)
+            f.write(f"{label} {vals}{' *' if label == best else ''}\n")
+    print(f"{ds}: best model by SDR is {best} -> {path}")
+    return best
+
+
 def cmd_run_eval(args):
     """Staged evaluation recipe (reference run_eval.sh)."""
     test_sets = args.test_sets.split()
-    model = args.intermediate_model_num or "final"
     model_config = args.model_config
     conf = os.path.join(args.model_dir, "conf")
     if not model_config and os.path.isfile(conf):
         model_config = conf  # auto-reuse snapshot (run_eval.sh:25)
 
-    if getattr(args, "on_device_features", False):
-        if args.intermediate_model_num:
-            model_path = os.path.join(args.model_dir, "intermediate_models",
-                                      f"{int(args.intermediate_model_num):03d}.mdl")
-        else:
-            model_path = os.path.join(args.model_dir, "final.mdl")
-        if args.stage <= 0:
-            print("### Preparing data directories (stage 0) ###")
-            from ..datadir import prepare_data_dir
-            for ds in test_sets:
-                prepare_data_dir(ds, _registry(args), data_root=args.data_root,
-                                 id_lists_dir=args.id_lists_dir)
-        if args.stage <= 3:
-            print("### Fused separation (stages 1-3 combined) ###")
-            _run_eval_fused(args, test_sets, model, model_path, model_config)
-        if args.stage <= 4:
-            print("### Evaluating estimated sources (stage 4) ###")
-            from ..eval import evaluate_sources
-            for ds in test_sets:
-                # utt2num_spk comes from the corpus layout, not features
-                data_dir = os.path.join(args.data_root, ds)
-                _ensure_utt2num_spk(data_dir)
-                means = evaluate_sources(
-                    data_dir,
-                    os.path.join(args.model_dir, f"output_{model}", ds),
-                    num_workers=args.nj, device=args.device_scoring,
-                    data_parallel=getattr(args, "data_parallel", False))
-                print(f"{ds} mean SDR: {means['SDR']:.2f}")
-        return
+    models = _models_to_eval(args)
+    sweep = getattr(args, "sweep_intermediates", False)
+    fused = getattr(args, "on_device_features", False)
 
     if args.stage <= 0:
         print("### Preparing data directories (stage 0) ###")
@@ -646,45 +666,62 @@ def cmd_run_eval(args):
             prepare_data_dir(ds, _registry(args), data_root=args.data_root,
                              id_lists_dir=args.id_lists_dir)
 
-    if args.stage <= 1:
+    if not fused and args.stage <= 1:
         print("### Extracting features (stage 1) ###")
         for ds in test_sets:
             _extract(os.path.join(args.data_root, ds), "test",
                      os.path.join(args.featdir, f"{ds}_test"), args)
 
-    if args.stage <= 2:
-        print("### Generating masks (stage 2) ###")
-        from ..eval import generate_masks
-        if args.intermediate_model_num:
-            model_path = os.path.join(args.model_dir, "intermediate_models",
-                                      f"{int(args.intermediate_model_num):03d}.mdl")
+    results = {ds: [] for ds in test_sets}
+    for model, model_path in models:
+        tag = f" [{model}]" if sweep else ""
+        if fused:
+            if args.stage <= 3:
+                print(f"### Fused separation (stages 1-3 combined){tag} ###")
+                _run_eval_fused(args, test_sets, model, model_path,
+                                model_config)
         else:
-            model_path = os.path.join(args.model_dir, "final.mdl")
-        for ds in test_sets:
-            out_dir = os.path.join(args.model_dir, f"output_{model}", ds)
-            generate_masks(model_path, os.path.join(args.data_root, ds),
-                           os.path.join(out_dir, "masks"),
-                           model_kwargs=read_model_config(model_config),
-                           batch_size=args.batch_size)
+            if args.stage <= 2:
+                print(f"### Generating masks (stage 2){tag} ###")
+                from ..eval import generate_masks
+                for ds in test_sets:
+                    out_dir = os.path.join(args.model_dir,
+                                           f"output_{model}", ds)
+                    generate_masks(model_path,
+                                   os.path.join(args.data_root, ds),
+                                   os.path.join(out_dir, "masks"),
+                                   model_kwargs=read_model_config(model_config),
+                                   batch_size=args.batch_size)
 
-    if args.stage <= 3:
-        print("### Generating estimated source wav files (stage 3) ###")
-        from ..eval import reconstruct_sources
-        for ds in test_sets:
-            reconstruct_sources(os.path.join(args.data_root, ds),
-                                os.path.join(args.model_dir, f"output_{model}", ds),
-                                hop=args.step_size, sample_rate=args.sample_rate)
+            if args.stage <= 3:
+                print("### Generating estimated source wav files "
+                      f"(stage 3){tag} ###")
+                from ..eval import reconstruct_sources
+                for ds in test_sets:
+                    reconstruct_sources(
+                        os.path.join(args.data_root, ds),
+                        os.path.join(args.model_dir, f"output_{model}", ds),
+                        hop=args.step_size, sample_rate=args.sample_rate)
 
-    if args.stage <= 4:
-        print("### Evaluating estimated sources (stage 4) ###")
-        from ..eval import evaluate_sources
+        if args.stage <= 4:
+            print(f"### Evaluating estimated sources (stage 4){tag} ###")
+            from ..eval import evaluate_sources
+            for ds in test_sets:
+                data_dir = os.path.join(args.data_root, ds)
+                if fused:
+                    # utt2num_spk comes from the corpus layout, not features
+                    _ensure_utt2num_spk(data_dir)
+                means = evaluate_sources(
+                    data_dir,
+                    os.path.join(args.model_dir, f"output_{model}", ds),
+                    num_workers=args.nj, device=args.device_scoring,
+                    data_parallel=getattr(args, "data_parallel", False))
+                print(f"{ds} mean SDR: {means['SDR']:.2f}")
+                results[ds].append((model, means))
+
+    if sweep and args.stage <= 4:
         for ds in test_sets:
-            means = evaluate_sources(
-                os.path.join(args.data_root, ds),
-                os.path.join(args.model_dir, f"output_{model}", ds),
-                num_workers=args.nj, device=args.device_scoring,
-                data_parallel=getattr(args, "data_parallel", False))
-            print(f"{ds} mean SDR: {means['SDR']:.2f}")
+            _write_sweep_results(args.model_dir, ds, results[ds])
 
 
 # --------------------------------------------------------------------- main
@@ -952,6 +989,11 @@ def build_parser():
     p.add_argument("--test-sets", required=True,
                    help="space-separated dataset names")
     p.add_argument("--intermediate-model-num", default="")
+    p.add_argument("--sweep-intermediates", action="store_true",
+                   help="evaluate EVERY saved checkpoint (intermediate "
+                        "epochs + final); writes per-test-set "
+                        "sweep_results/<set>.txt tables and flags the best "
+                        "model by SDR")
     p.add_argument("--model-config", default="")
     p.add_argument("--batch-size", type=int, default=100)
     p.add_argument("--featdir", default="feats")

@@ -56,6 +56,24 @@ def test_run_eval_recipe(workspace):
     assert np.isfinite(mean)
 
 
+def test_run_eval_sweep_intermediates(workspace):
+    """--sweep-intermediates evaluates every saved checkpoint (here
+    init.mdl + final.mdl) and writes the per-test-set comparison table
+    with the best model flagged."""
+    sepsep(["run-eval", "--model-dir", "exp/uPIT_toy_tr",
+            "--test-sets", "toy_tt", "--batch-size", "3",
+            "--sweep-intermediates", "--stage", "2"])
+    with open("exp/uPIT_toy_tr/sweep_results/toy_tt.txt") as f:
+        lines = f.read().splitlines()
+    assert lines[0].split()[:2] == ["model", "SDR"]
+    rows = lines[1:]
+    assert [r.split()[0] for r in rows] == ["init", "final"]
+    assert sum(r.endswith("*") for r in rows) == 1
+    for label in ("init", "final"):
+        stats = f"exp/uPIT_toy_tr/output_{label}/toy_tt/results/SDR_stats.txt"
+        assert os.path.isfile(stats)
+
+
 def test_sharded_extract_matches_single(workspace):
     """--nj 2 extraction produces the same scp contents as nj=1."""
     from speech_separation_tpu.datadir.scp import read_scp
