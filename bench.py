@@ -1,10 +1,11 @@
 #!/usr/bin/env python3
 """Benchmark: full-size uPIT training throughput on one chip.
 
-Prints ONE JSON line:
+Prints ONE JSON line per completed phase-merge (the LAST line is the full
+merge; the driver parses the last JSON line):
   {"metric": ..., "value": N, "unit": "utts/sec/chip", "vs_baseline": N, ...}
 
-The measured configuration is the reference's training hot loop at reference
+The headline configuration is the reference's training hot loop at reference
 scale (SURVEY.md §6): uPIT BLSTM 2x600, feat_dim 257, num_spk 2, batch 100,
 ~6.1 s utterances (384 frames at hop 128 / 8 kHz) — forward + PIT loss +
 backward + global-norm clip + Adam, as a single jit'd XLA program.
@@ -13,15 +14,30 @@ vs_baseline divides by the measured reference implementation (torch,
 reference semantics, measured on this machine's CPU by
 tools/measure_reference_baseline.py since the repo ships no GPU and the
 reference publishes no numbers — BASELINE.md). Extra detail fields report
-the fused STFT->mask->iSTFT eval-path bandwidth.
+every other arch's full train step plus the fused STFT->mask->iSTFT
+eval-path bandwidth and serving throughput.
+
+OUTAGE-PROOFING: the TPU tunnel sporadically degrades or hangs. Every
+phase runs in a CHILD process with a hard deadline, and the parent (which
+never initializes the backend itself) re-emits the merged JSON after each
+phase. A mid-run hang therefore costs one phase, not the run: all
+previously completed measurements survive in the last emitted line.
 """
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+# --------------------------------------------------------------------------
+# measurement bodies (run inside a child process via --phase <name>)
+# --------------------------------------------------------------------------
 
 def bench_train_step(B=100, T=384, iters=20, compute_dtype="bfloat16",
                      arch_name="uPIT"):
@@ -68,9 +84,9 @@ def bench_train_step_wave(arch_name: str, B=32, n_sec=4.0, iters=10,
                           compute_dtype="bfloat16"):
     """Full train step of a DOMAIN='time' arch (waveform batches, SI-SNR
     uPIT) at production scale: full-size model defaults, B utterances of
-    n_sec 8 kHz audio. remat on (the activation footprint of 24 dilated
-    blocks over ~2000 latent frames is the binding constraint, exactly as
-    production training would run it)."""
+    n_sec 8 kHz audio. remat on (the activation footprint of the deep
+    separator over ~2000 latent frames is the binding constraint, exactly
+    as production training would run it)."""
     import jax
     import jax.numpy as jnp
     from speech_separation_tpu.models.registry import get_arch
@@ -175,18 +191,54 @@ def bench_serving(B=16, n_sec=6.0, rounds=6):
             "audio_sec_per_sec": B * n_sec / dt}
 
 
+# phase name -> zero-arg callable returning the raw result dict.
+# Ordered: headline first, so an early outage still produces `value`.
+PHASES = {
+    "upit_bf16": lambda: bench_train_step(),
+    "upit_f32": lambda: bench_train_step(iters=10, compute_dtype="float32"),
+    # batch 128 (MXU-tile-aligned) rides the recurrence's latency almost
+    # free — the per-utterance ceiling; batch 100 stays the headline for
+    # comparability with the reference's configuration
+    "upit_b128": lambda: bench_train_step(B=128, iters=10),
+    # the second flagship arch at reference scale (archs/RSH.py:155-157):
+    # S sequential extraction passes + greedy assignment + backward
+    "rsh": lambda: bench_train_step(iters=10, arch_name="RSH"),
+    # the beyond-reference TCN at matched (~13M) params: no recurrence,
+    # pure MXU matmuls/convs — the framework-native arch's throughput
+    "tcn": lambda: bench_train_step(iters=10, arch_name="TCN"),
+    # the time-domain archs (waveform batches, SI-SNR uPIT) at full-size
+    # defaults on 4 s utterances — the post-reference families
+    "convtasnet": lambda: bench_train_step_wave("ConvTasNet"),
+    "dprnn": lambda: bench_train_step_wave("DPRNN"),
+    "sepformer": lambda: bench_train_step_wave("SepFormer"),
+    "dsp": lambda: bench_dsp_bandwidth(),
+    "serving": lambda: bench_serving(),
+}
+
+
+def run_phase_child(name: str) -> None:
+    """Child-process entry: run one phase and print its raw-result JSON."""
+    sys.path.insert(0, HERE)
+    from speech_separation_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()  # compile_s is ~0 on a warm cache
+    res = PHASES[name]()
+    import jax
+    res["device"] = str(jax.devices()[0])
+    print("BENCH_PHASE_RESULT " + json.dumps(res), flush=True)
+
+
+# --------------------------------------------------------------------------
+# parent orchestration (never initializes the backend in-process)
+# --------------------------------------------------------------------------
+
 def wait_for_healthy_backend(max_wait_s: float | None = None,
                              probe_budget_s: float = 20.0) -> float:
     """The TPU tunnel sporadically degrades to minutes-per-dispatch — or
     hangs outright at backend *init* — and any number measured in such a
-    window is garbage. Probe with a trivial op in a CHILD process first
-    (an init hang in-process would block forever with no output; a child
-    can be killed on a deadline) and only initialize this process's
-    backend once a child probe succeeds. Returns the last probe latency
-    in seconds (recorded in the output for honesty)."""
-    import subprocess
-    import sys
-
+    window is garbage. Probe with a trivial op in a CHILD process (an init
+    hang in-process would block forever with no output; a child can be
+    killed on a deadline). Returns the last probe latency in seconds
+    (inf = never healthy within the budget)."""
     if max_wait_s is None:
         try:
             max_wait_s = float(os.environ.get("SEPSEP_BENCH_MAX_WAIT", 1200))
@@ -214,45 +266,87 @@ def wait_for_healthy_backend(max_wait_s: float | None = None,
         print(f"# bench: backend {desc}; waiting for a healthy window",
               file=sys.stderr, flush=True)
         time.sleep(60)
-    if latency == float("inf"):
-        # backend init is HUNG: an in-process attempt would block forever
-        # and produce NO output at all — report the outage explicitly.
-        # (A merely-slow backend takes the measure-anyway path below.)
-        print(json.dumps({
-            "metric": "uPIT train throughput (backend unreachable)",
-            "value": 0, "unit": "utts/sec/chip", "vs_baseline": None,
-            "detail": {"error": "TPU backend init hung for "
-                                f"{max_wait_s:.0f}s; no measurement possible",
-                       "last_healthy_measurement":
-                           "BENCH_r02.json: 2557 utts/sec/chip "
-                           "(39.1 ms step, bf16+Pallas, B=100/T=384)"},
-        }))
-        raise SystemExit(1)
-    if latency >= probe_budget_s:
+    if probe_budget_s <= latency < float("inf"):
         # dispatch works but is degraded: measure anyway, flagged
         print(f"# bench: backend still slow after {max_wait_s:.0f}s "
               f"(trivial op {latency:.0f}s) — numbers below are NOT "
               "steady-state hardware numbers", file=sys.stderr, flush=True)
-    # the child released the (single-client) tunnel before returning;
-    # init in-process now and fold the real dispatch latency in
-    t0 = time.time()
-    import jax.numpy as jnp
-    float(jnp.ones((8, 8)).sum())
-    return time.time() - t0
+    return latency
+
+
+# detail key -> (phase, raw key, round digits); assembled only for phases
+# that completed.
+DETAIL_FIELDS = [
+    ("step_ms", "upit_bf16", "step_ms", 2),
+    ("compile_s", "upit_bf16", "compile_s", 1),
+    ("f32_parity_path_utts_per_sec", "upit_f32", "utts_per_sec", 2),
+    ("b128_utts_per_sec", "upit_b128", "utts_per_sec", 2),
+    ("rsh_utts_per_sec", "rsh", "utts_per_sec", 2),
+    ("rsh_step_ms", "rsh", "step_ms", 2),
+    ("tcn_utts_per_sec", "tcn", "utts_per_sec", 2),
+    ("tcn_step_ms", "tcn", "step_ms", 2),
+    ("convtasnet_utts_per_sec", "convtasnet", "utts_per_sec", 2),
+    ("convtasnet_step_ms", "convtasnet", "step_ms", 2),
+    ("convtasnet_audio_sec_per_sec", "convtasnet", "audio_sec_per_sec", 0),
+    ("dprnn_utts_per_sec", "dprnn", "utts_per_sec", 2),
+    ("dprnn_step_ms", "dprnn", "step_ms", 2),
+    ("sepformer_utts_per_sec", "sepformer", "utts_per_sec", 2),
+    ("sepformer_step_ms", "sepformer", "step_ms", 2),
+    ("sepformer_audio_sec_per_sec", "sepformer", "audio_sec_per_sec", 0),
+    ("dsp_roundtrip_gb_per_sec", "dsp", "gb_per_sec", 2),
+    ("dsp_audio_sec_per_sec", "dsp", "audio_sec_per_sec", 0),
+    ("serving_utts_per_sec", "serving", "utts_per_sec", 2),
+    ("serving_audio_sec_per_sec", "serving", "audio_sec_per_sec", 0),
+]
+
+
+def merged_line(results: dict, failures: dict, baseline_utts,
+                probe_latency: float) -> str:
+    head = results.get("upit_bf16")
+    value = round(head["utts_per_sec"], 2) if head else 0
+    detail = {}
+    for out_key, phase, raw_key, nd in DETAIL_FIELDS:
+        if phase in results and raw_key in results[phase]:
+            v = results[phase][raw_key]
+            detail[out_key] = round(v, nd) if nd else round(v)
+    detail["baseline_utts_per_sec"] = baseline_utts
+    detail["baseline_hw"] = ("torch-CPU (reference semantics; no GPU here, "
+                             "no published numbers)")
+    if probe_latency != float("inf"):
+        detail["backend_probe_latency_s"] = round(probe_latency, 3)
+    for phase, res in results.items():
+        if "device" in res:
+            detail["device"] = res["device"]
+            break
+    if failures:
+        detail["failed_phases"] = failures
+    if not head:
+        detail["error"] = ("headline phase did not complete; see "
+                           "failed_phases")
+    out = {
+        "metric": "uPIT train throughput (B=100, T=384, 2x600 BLSTM, "
+                  "full step, bf16+pallas)",
+        "value": value,
+        "unit": "utts/sec/chip",
+        "vs_baseline": (round(value / baseline_utts, 2)
+                        if baseline_utts and value else None),
+        "detail": detail,
+    }
+    return json.dumps(out)
 
 
 def main():
-    here = os.path.dirname(os.path.abspath(__file__))
-    import sys
-    sys.path.insert(0, here)
-    from speech_separation_tpu.utils.compile_cache import enable_compilation_cache
-    enable_compilation_cache()  # compile_s is ~0 on a warm cache
-    probe_latency = wait_for_healthy_backend()
-
+    if "--phase" in sys.argv:
+        run_phase_child(sys.argv[sys.argv.index("--phase") + 1])
+        return
     if "--rsh" in sys.argv:
         # side measurement (not the headline): RSH full train step —
         # S sequential extraction passes + greedy assignment + backward
-        res = bench_train_step(arch_name="RSH")
+        sys.path.insert(0, HERE)
+        from speech_separation_tpu.utils.compile_cache import (
+            enable_compilation_cache)
+        enable_compilation_cache()
+        res = bench_train_step(iters=10, arch_name="RSH")
         print(json.dumps({"metric": "RSH train throughput (B=100, T=384, "
                                     "S=2, 2x600 BLSTM, full step, bf16+pallas)",
                           "value": round(res["utts_per_sec"], 2),
@@ -260,78 +354,46 @@ def main():
                           "detail": {"step_ms": round(res["step_ms"], 2),
                                      "compile_s": round(res["compile_s"], 1)}}))
         return
-    baseline_path = os.path.join(here, "tools", "baseline_measured.json")
+
+    baseline_path = os.path.join(HERE, "tools", "baseline_measured.json")
     baseline_utts = None
     if os.path.isfile(baseline_path):
         with open(baseline_path) as f:
             baseline_utts = json.load(f).get("utts_per_sec")
 
-    def _phase(msg):
-        print(f"# bench: {msg}", file=sys.stderr, flush=True)
+    probe_latency = wait_for_healthy_backend()
+    try:
+        phase_timeout = float(os.environ.get("SEPSEP_BENCH_PHASE_TIMEOUT", 900))
+    except ValueError:
+        phase_timeout = 900.0
 
-    _phase("uPIT bf16 step")
-    train_res = bench_train_step()  # bf16 + Pallas LSTM (the perf path)
-    _phase(f"uPIT bf16 done: {train_res['step_ms']:.1f} ms "
-           f"(compile {train_res['compile_s']:.0f}s); f32 next")
-    train_f32 = bench_train_step(iters=10, compute_dtype="float32")
-    # batch 128 (MXU-tile-aligned) rides the recurrence's latency almost
-    # free — the per-utterance ceiling; batch 100 stays the headline for
-    # comparability with the reference's configuration
-    _phase(f"f32 done: {train_f32['step_ms']:.1f} ms; b128 next")
-    train_b128 = bench_train_step(B=128, iters=10)
-    # the second flagship arch at reference scale (archs/RSH.py:155-157):
-    # S sequential extraction passes + greedy assignment + backward
-    _phase(f"b128 done: {train_b128['step_ms']:.1f} ms; RSH next")
-    train_rsh = bench_train_step(iters=10, arch_name="RSH")
-    # the beyond-reference TCN at matched (~13M) params: no recurrence,
-    # pure MXU matmuls/convs — the framework-native arch's throughput
-    _phase(f"RSH done: {train_rsh['step_ms']:.1f} ms; TCN next")
-    train_tcn = bench_train_step(iters=10, arch_name="TCN")
-    # the time-domain archs (waveform batches, SI-SNR uPIT) at full-size
-    # defaults on 4 s utterances — the post-reference families
-    _phase(f"TCN done: {train_tcn['step_ms']:.1f} ms; ConvTasNet next")
-    train_ctn = bench_train_step_wave("ConvTasNet")
-    _phase(f"ConvTasNet done: {train_ctn['step_ms']:.1f} ms; DPRNN next")
-    train_dprnn = bench_train_step_wave("DPRNN")
-    _phase(f"DPRNN done: {train_dprnn['step_ms']:.1f} ms; dsp next")
-    dsp_res = bench_dsp_bandwidth()
-    _phase("dsp done; serving next")
-    serve_res = bench_serving()
-    _phase("serving done")
-
-    import jax
-    value = train_res["utts_per_sec"]
-    out = {
-        "metric": "uPIT train throughput (B=100, T=384, 2x600 BLSTM, full step, bf16+pallas)",
-        "value": round(value, 2),
-        "unit": "utts/sec/chip",
-        "vs_baseline": round(value / baseline_utts, 2) if baseline_utts else None,
-        "detail": {
-            "step_ms": round(train_res["step_ms"], 2),
-            "compile_s": round(train_res["compile_s"], 1),
-            "f32_parity_path_utts_per_sec": round(train_f32["utts_per_sec"], 2),
-            "b128_utts_per_sec": round(train_b128["utts_per_sec"], 2),
-            "rsh_utts_per_sec": round(train_rsh["utts_per_sec"], 2),
-            "rsh_step_ms": round(train_rsh["step_ms"], 2),
-            "tcn_utts_per_sec": round(train_tcn["utts_per_sec"], 2),
-            "tcn_step_ms": round(train_tcn["step_ms"], 2),
-            "convtasnet_utts_per_sec": round(train_ctn["utts_per_sec"], 2),
-            "convtasnet_step_ms": round(train_ctn["step_ms"], 2),
-            "convtasnet_audio_sec_per_sec": round(
-                train_ctn["audio_sec_per_sec"], 0),
-            "dprnn_utts_per_sec": round(train_dprnn["utts_per_sec"], 2),
-            "dprnn_step_ms": round(train_dprnn["step_ms"], 2),
-            "baseline_utts_per_sec": baseline_utts,
-            "baseline_hw": "torch-CPU (reference semantics; no GPU here, no published numbers)",
-            "dsp_roundtrip_gb_per_sec": round(dsp_res["gb_per_sec"], 2),
-            "dsp_audio_sec_per_sec": round(dsp_res["audio_sec_per_sec"], 0),
-            "serving_utts_per_sec": round(serve_res["utts_per_sec"], 2),
-            "serving_audio_sec_per_sec": round(serve_res["audio_sec_per_sec"], 0),
-            "backend_probe_latency_s": round(probe_latency, 3),
-            "device": str(jax.devices()[0]),
-        },
-    }
-    print(json.dumps(out))
+    results: dict = {}
+    failures: dict = {}
+    for name in PHASES:
+        print(f"# bench: phase {name}", file=sys.stderr, flush=True)
+        t0 = time.time()
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--phase", name],
+                capture_output=True, text=True, timeout=phase_timeout)
+            line = next((l for l in r.stdout.splitlines()
+                         if l.startswith("BENCH_PHASE_RESULT ")), None)
+            if r.returncode == 0 and line:
+                results[name] = json.loads(line.split(" ", 1)[1])
+            else:
+                tail = (r.stderr or r.stdout or "").strip().splitlines()[-3:]
+                failures[name] = f"rc={r.returncode}: " + " | ".join(tail)
+        except subprocess.TimeoutExpired:
+            failures[name] = f"timed out after {phase_timeout:.0f}s"
+        dt = time.time() - t0
+        status = "ok" if name in results else f"FAILED ({failures.get(name)})"
+        print(f"# bench: phase {name} {status} [{dt:.0f}s]",
+              file=sys.stderr, flush=True)
+        # re-emit the running merge after every phase: a later hang or a
+        # driver kill preserves everything measured so far as the last line
+        print(merged_line(results, failures, baseline_utts, probe_latency),
+              flush=True)
+    raise SystemExit(0 if "upit_bf16" in results else 1)
 
 
 if __name__ == "__main__":

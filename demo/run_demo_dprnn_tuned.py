@@ -1,0 +1,111 @@
+#!/usr/bin/env python3
+"""DPRNN full-size quality root-cause follow-up (VERDICT round-3 item 2):
+train DPRNN on the full-size corpus with the literature recipe the sweep
+(demo/sweep_dprnn.py) selected — Luo et al. 2020's optimizer settings
+(clip 5, lr decay ~0.99/epoch, long schedule) instead of the reference's
+BLSTM settings (clip 0.25, constant lr, 30 epochs) — and score it on
+device. Appends a section to RESULTS.md. Idempotent; resumes."""
+import json, os, time
+os.chdir(os.path.dirname(os.path.abspath(__file__)))
+
+from speech_separation_tpu.datadir import DatasetRegistry, prepare_data_dir
+from speech_separation_tpu.dsp import STFTConfig
+from speech_separation_tpu.dsp.extract import extract_features
+from speech_separation_tpu.train.loop import (TrainLoopConfig,
+                                              latest_intermediate_epoch,
+                                              train_with_restarts)
+from speech_separation_tpu.eval.pipeline import SeparationPipeline
+from speech_separation_tpu.eval.score import evaluate_sources
+from speech_separation_tpu.datadir.scp import read_scp
+from speech_separation_tpu.utils.audio import (limit_peak, load_wav,
+                                               wav_num_samples,
+                                               write_wav_int16)
+from speech_separation_tpu.utils.compile_cache import enable_compilation_cache
+from speech_separation_tpu.utils.synthetic import (make_synthetic_corpus,
+                                                   write_id_list)
+
+enable_compilation_cache()
+HEADER = "## DPRNN with the literature training recipe, same corpus"
+
+NTR, NCV, NTT = 1024, 64, 64
+if not os.path.isfile("data/fs_tt/feats_test.scp"):
+    print("== corpus ==", flush=True)
+    ids_tr = make_synthetic_corpus("corpus/fs_tr", NTR, seed=10,
+                                   min_sec=2.0, max_sec=4.0, prefix="fstr")
+    ids_cv = make_synthetic_corpus("corpus/fs_cv", NCV, seed=11,
+                                   min_sec=2.0, max_sec=4.0, prefix="fscv")
+    ids_tt = make_synthetic_corpus("corpus/fs_tt", NTT, seed=12,
+                                   min_sec=2.0, max_sec=4.0, prefix="fstt")
+    write_id_list("id_lists", "fs_tr", ids_tr)
+    write_id_list("id_lists", "fs_cv", ids_cv)
+    write_id_list("id_lists", "fs_tt", ids_tt)
+    reg = DatasetRegistry({"fs_tr": "corpus/fs_tr", "fs_cv": "corpus/fs_cv",
+                           "fs_tt": "corpus/fs_tt"})
+    for ds in ("fs_tr", "fs_cv", "fs_tt"):
+        prepare_data_dir(ds, reg)
+    extract_features("data/fs_tt", "test", "feats/fs_tt_test", STFTConfig(),
+                     compress=False)
+
+MK = {"compute_dtype": "bfloat16", "remat": "1"}
+EPOCHS = int(os.environ.get("DPRNN_EPOCHS", 100))
+exp = "exp/DPRNN_tuned_fs_tr"
+
+start_epoch = latest_intermediate_epoch(exp)
+if start_epoch:
+    print(f"== resuming from epoch {start_epoch} ==", flush=True)
+print("== DPRNN tuned: train (clip 5, lr decay 0.99, long schedule) ==",
+      flush=True)
+t0 = time.time()
+out = train_with_restarts(
+    "data/fs_tr", exp,
+    TrainLoopConfig(arch="DPRNN", batch_size=32, num_epochs=EPOCHS, seed=0,
+                    grad_clip=5.0, lr_decay=0.99, start_epoch=start_epoch,
+                    checkpoint_every=10, on_device_features=True),
+    max_restarts=6, cv_data_dir="data/fs_cv", model_kwargs=MK)
+wall = time.time() - t0
+rate = out["utts_per_sec"]
+print(f"train wall: {wall:.0f}s ({rate:.1f} utts/sec)", flush=True)
+
+print("== fused separation + device scoring ==", flush=True)
+out_dir = f"{exp}/output_final/fs_tt"
+pipe = SeparationPipeline(f"{exp}/final.mdl", model_kwargs=MK, batch_size=32)
+entries = read_scp("data/fs_tt/wav.scp")
+lengths = [wav_num_samples(p) for _, p in entries]
+loader = lambda i: load_wav(entries[i][1], sr=8000)[0]
+for i, ests in pipe.separate_stream(loader, lengths):
+    utt = entries[i][0]
+    for s, est in enumerate(limit_peak(ests)):
+        d = os.path.join(out_dir, "wav", f"s{s + 1}")
+        os.makedirs(d, exist_ok=True)
+        write_wav_int16(os.path.join(d, f"{utt}.wav"), 8000, est)
+results = evaluate_sources("data/fs_tt", out_dir, device=True)
+
+import jax
+from demo_corpus import replace_results_section
+section = [f"\n{HEADER}\n\n"]
+section.append(
+    "Root-cause follow-up to the 5.4 dB Conv-TasNet/DPRNN gap in the\n"
+    "table above: the short sweep (demo/sweep_dprnn.py) showed DPRNN was\n"
+    "UNDERCONVERGED under the reference BLSTM recipe (clip 0.25, constant\n"
+    "lr, 30 epochs) — at epoch 15 every optimizer variant sat within\n"
+    "0.1 dB of the same train loss with CV still improving ~0.3 dB/epoch.\n"
+    "This run keeps the full default model and trains it with the DPRNN\n"
+    f"paper's recipe (Luo et al. 2020): clip 5, lr decay 0.99/epoch,\n"
+    f"{EPOCHS} epochs (vs 30 above). Trained/run on\n"
+    f"{jax.devices()[0].platform}.\n")
+section.append("\n| metric | DPRNN tuned | (DPRNN 30-ep above) | "
+               "(Conv-TasNet) | (uPIT 2x600) |\n|---|---|---|---|---|\n")
+prev = {"SDR": 19.91, "SIR": 28.16, "SAR": 20.43,
+        "SI-SDR": 19.12, "SI-SDRi": 19.12}
+ctn = {"SDR": 25.31, "SIR": 32.90, "SAR": 25.86,
+       "SI-SDR": 24.55, "SI-SDRi": 24.55}
+upit = {"SDR": 23.45, "SIR": 26.95, "SAR": 25.67,
+        "SI-SDR": 22.77, "SI-SDRi": 22.76}
+for m in ("SDR", "SIR", "SAR", "SI-SDR", "SI-SDRi"):
+    section.append(f"| {m} | {results[m]:.2f} dB | {prev[m]:.2f} dB "
+                   f"| {ctn[m]:.2f} dB | {upit[m]:.2f} dB |\n")
+section.append(
+    f"\nTrain wall: {wall:.0f}s ({rate:.1f} utts/s end-to-end incl. host\n"
+    "pipeline + compiles + any restart recovery).\n")
+replace_results_section(HEADER, section)
+print(json.dumps({m: round(v, 2) for m, v in results.items()}))

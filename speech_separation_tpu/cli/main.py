@@ -124,6 +124,7 @@ def cmd_train(args):
         stft=stft,
         arch=args.arch, batch_size=args.batch_size,
         num_epochs=args.num_epochs, learning_rate=args.learning_rate,
+        grad_clip=args.grad_clip, lr_decay=args.lr_decay,
         start_epoch=args.start_epoch, seed=args.seed,
         time_pad_multiple=args.time_pad_multiple,
         bucket_by_length=args.bucket_by_length,
@@ -534,6 +535,7 @@ def cmd_run_train(args):
         loop_cfg = TrainLoopConfig(
             arch=args.arch, batch_size=args.batch_size,
             num_epochs=args.num_epochs, learning_rate=args.learning_rate,
+            grad_clip=args.grad_clip, lr_decay=args.lr_decay,
             start_epoch=args.start_epoch, seed=args.seed,
             time_pad_multiple=args.time_pad_multiple,
             bucket_by_length=args.bucket_by_length,
@@ -753,6 +755,14 @@ def _add_train(p):
     p.add_argument("--start-epoch", type=int, default=0)
     p.add_argument("--num-epochs", type=int, default=200)
     p.add_argument("--learning-rate", type=float, default=1e-3)
+    p.add_argument("--grad-clip", type=float, default=0.25,
+                   help="global-norm gradient clip (reference fixed 0.25, "
+                        "train_qsub.py:121). The recurrent time-domain "
+                        "archs train better at the literature's 5.0 — see "
+                        "docs/performance.md DPRNN anatomy")
+    p.add_argument("--lr-decay", type=float, default=1.0,
+                   help="per-epoch multiplicative lr decay (1.0 = constant "
+                        "like the reference; DPRNN's recipe uses ~0.99)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--time-pad-multiple", type=int, default=128)
     p.add_argument("--bucket-by-length", action="store_true")

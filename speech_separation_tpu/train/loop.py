@@ -53,6 +53,13 @@ class TrainLoopConfig:
     num_epochs: int = 200
     learning_rate: float = 1e-3
     grad_clip: float = 0.25
+    # per-epoch multiplicative lr decay (1.0 = constant, the reference's
+    # behavior). The time-domain literature trains with decay — e.g. DPRNN
+    # (Luo et al. 2020) uses 0.98 every 2 epochs = 0.99 per epoch — and the
+    # recurrent time-domain archs here converge measurably further with it
+    # (docs/performance.md DPRNN anatomy). Applied as a staircase schedule
+    # stepped once per epoch (train() passes steps_per_epoch).
+    lr_decay: float = 1.0
     start_epoch: int = 0
     checkpoint_every: int = 5
     cv_every: int = 5
@@ -83,10 +90,20 @@ class TrainLoopConfig:
     stft: STFTConfig = STFTConfig()
 
 
-def make_optimizer(cfg: TrainLoopConfig):
+def make_optimizer(cfg: TrainLoopConfig, steps_per_epoch: int | None = None):
+    """Reference optimizer (clip -> Adam, train_qsub.py:95,121), optionally
+    with a per-epoch staircase lr decay (cfg.lr_decay < 1.0). The schedule
+    steps on the optimizer's update count, so steps_per_epoch converts the
+    per-epoch rate; without it (step-factory callers: bench, dryrun) decay
+    is ignored and the lr is constant, matching the reference."""
+    lr = cfg.learning_rate
+    if cfg.lr_decay != 1.0 and steps_per_epoch:
+        lr = optax.exponential_decay(cfg.learning_rate,
+                                     transition_steps=steps_per_epoch,
+                                     decay_rate=cfg.lr_decay, staircase=True)
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
-        optax.adam(cfg.learning_rate),
+        optax.adam(lr),
     )
 
 
@@ -407,7 +424,10 @@ def _train_locked(data_dir: str, exp_dir: str, loop_cfg: TrainLoopConfig,
     key = jax.random.PRNGKey(loop_cfg.seed)
     key, init_key = jax.random.split(key)
     params, state = arch.init(init_key, model_cfg)
-    optimizer = make_optimizer(loop_cfg)
+    # steps per epoch for the (optional) per-epoch lr-decay staircase; the
+    # Adam update count in opt_state carries the schedule across resumes
+    steps_per_epoch = max(1, -(-len(dataset) // loop_cfg.batch_size))
+    optimizer = make_optimizer(loop_cfg, steps_per_epoch)
     opt_state = optimizer.init(params)
 
     epoch_losses: list[tuple[int, float]] = []

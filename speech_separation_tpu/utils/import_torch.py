@@ -166,6 +166,14 @@ def export_reference_model(ckpt_path: str, out_path: str, log=print) -> dict:
     log(f"exported {info['arch']} model ({info['num_layers']}x"
         f"{info['hidden']} BLSTM, feat_dim {info['feat_dim']}) "
         f"-> {out_path} (reference torch state-dict)")
+    if info["hidden"] != 600 or info["num_layers"] != 2:
+        # the reference SepDNN hardcodes 2x600 (archs/uPIT.py:115,
+        # archs/RSH.py:155); other sizes load in generic torch pipelines
+        # but shape-mismatch inside the stock reference recipe
+        log(f"note: the stock reference recipe builds a fixed 2x600 BLSTM; "
+            f"this {info['num_layers']}x{info['hidden']} export loads via "
+            "plain torch.load/state-dict APIs but NOT via the unmodified "
+            "reference eval scripts")
     return info
 
 

@@ -60,9 +60,12 @@ def test_run_eval_sweep_intermediates(workspace):
     """--sweep-intermediates evaluates every saved checkpoint (here
     init.mdl + final.mdl) and writes the per-test-set comparison table
     with the best model flagged."""
+    # stage 1 (not 2) so the test is self-contained under -k selection:
+    # it re-extracts test features instead of assuming test_run_eval_recipe
+    # already ran in this module-scoped workspace (idempotent if it did)
     sepsep(["run-eval", "--model-dir", "exp/uPIT_toy_tr",
             "--test-sets", "toy_tt", "--batch-size", "3",
-            "--sweep-intermediates", "--stage", "2"])
+            "--sweep-intermediates", "--stage", "1"])
     with open("exp/uPIT_toy_tr/sweep_results/toy_tt.txt") as f:
         lines = f.read().splitlines()
     assert lines[0].split()[:2] == ["model", "SDR"]

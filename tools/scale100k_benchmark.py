@@ -42,6 +42,17 @@ def synthesize_cache(work, N, dtype, feat_dim=257, min_frames=126,
     rng = np.random.default_rng(seed)
     frames = rng.integers(min_frames, max_frames + 1, size=N)
     ids = [f"sc{i:06d}" for i in range(N)]
+    if (os.path.isfile(cache_path) and os.path.isfile(cache_path + ".idx.npz")
+            and os.path.isfile(os.path.join(data_dir, "utt2num_spk"))
+            and os.path.isfile(os.path.join(data_dir, "feats_train.scp"))):
+        with np.load(cache_path + ".idx.npz") as idx:
+            if len(idx["ids"]) == N and str(idx["dtype"]) == dt.name:
+                log(f"reusing existing {dt.name} cache "
+                    f"({os.path.getsize(cache_path) / 1e9:.2f} GB)")
+                with open(pointer_path(data_dir, "train"), "w") as f:
+                    f.write(cache_path + "\n")
+                return (data_dir, cache_path,
+                        os.path.getsize(cache_path), 0.0)
     offsets = np.zeros(N, np.int64)
     t0 = time.time()
     off = 0
@@ -104,6 +115,41 @@ def input_epochs(data_dir, batch_size, epochs, log=print):
     return rates
 
 
+def full_train_epoch(work, data_dir, N, batch_size, log=print):
+    """ONE measured end-to-end training epoch at 100k scale (VERDICT
+    round-3 item 6): packed-f16 input -> collation -> H2D -> full bf16
+    2x600 uPIT train step, peak host RSS tracked. Same TrainLoopConfig
+    shape as tools/scale_benchmark.py's 20k full-epoch rows."""
+    import re
+    import resource
+
+    from speech_separation_tpu.train.loop import TrainLoopConfig, train
+
+    lines: list[str] = []
+
+    def tlog(msg):
+        lines.append(str(msg))
+        if "wall" in str(msg) or "epoch" in str(msg).lower():
+            log(f"# [train] {msg}")
+
+    cfg = TrainLoopConfig(arch="uPIT", batch_size=batch_size, num_epochs=1,
+                          cv_every=1000, checkpoint_every=1000,
+                          make_plots=False, bucket_by_length=True)
+    t0 = time.time()
+    train(data_dir, os.path.join(work, "exp", "scale100k_upit"), cfg,
+          model_kwargs={"compute_dtype": "bfloat16"}, log=tlog)
+    total_s = time.time() - t0
+    walls = [float(m.group(1)) for line in lines
+             for m in [re.search(r"wall: ([\d.]+)s", line)] if m]
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    out = {"total_s": round(total_s, 1), "peak_rss_gb": round(rss_gb, 2)}
+    if walls:
+        out["epoch_s"] = walls[0]
+        out["utts_per_sec"] = round(N / walls[0], 1)
+    log(f"# [train] 100k epoch: {out}")
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--num-utts", type=int, default=100000)
@@ -111,9 +157,29 @@ def main():
     ap.add_argument("--batch-size", type=int, default=100)
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--dtypes", default="float16,float32")
+    ap.add_argument("--train-epoch", action="store_true",
+                    help="run ONE full training epoch (f16 cache, bf16 "
+                         "2x600 uPIT, RSS tracked) instead of input-only "
+                         "epochs; writes RESULTS_<N>_train.json")
     args = ap.parse_args()
 
     os.makedirs(args.work, exist_ok=True)
+    if args.train_epoch:
+        data_dir, cache_path, nbytes, gen_s = synthesize_cache(
+            args.work, args.num_utts, "float16")
+        results = {"num_utts": args.num_utts, "batch_size": args.batch_size,
+                   "cache_gb": round(nbytes / 1e9, 2),
+                   "train_f16_cache": full_train_epoch(
+                       args.work, data_dir, args.num_utts, args.batch_size)}
+        print(json.dumps(results))
+        out = os.path.join("scale_test",
+                           f"RESULTS_{args.num_utts}_train.json")
+        if os.path.isdir("scale_test"):
+            with open(out, "w") as f:
+                json.dump(results, f, indent=1)
+            print(f"# wrote {out}")
+        return
+
     results = {"num_utts": args.num_utts, "batch_size": args.batch_size,
                "modes": {}}
     for dtype in args.dtypes.split(","):
