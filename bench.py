@@ -81,12 +81,14 @@ def bench_train_step(B=100, T=384, iters=20, compute_dtype="bfloat16",
 
 
 def bench_train_step_wave(arch_name: str, B=32, n_sec=4.0, iters=10,
-                          compute_dtype="bfloat16"):
+                          compute_dtype="bfloat16", remat=True):
     """Full train step of a DOMAIN='time' arch (waveform batches, SI-SNR
     uPIT) at production scale: full-size model defaults, B utterances of
-    n_sec 8 kHz audio. remat on (the activation footprint of the deep
-    separator over ~2000 latent frames is the binding constraint, exactly
-    as production training would run it)."""
+    n_sec 8 kHz audio. remat defaults on (the activation footprint of the
+    deep separator over ~2000 latent frames is usually the binding
+    constraint); DPRNN passes remat=False — with the Pallas LSTM kernel's
+    compact bf16 residuals its unrematted backward fits HBM at this scale
+    and is the faster production config (docs/performance.md anatomy)."""
     import jax
     import jax.numpy as jnp
     from speech_separation_tpu.models.registry import get_arch
@@ -95,7 +97,7 @@ def bench_train_step_wave(arch_name: str, B=32, n_sec=4.0, iters=10,
                                                   make_update_step)
 
     arch = get_arch(arch_name)
-    cfg = arch.Config(compute_dtype=compute_dtype, remat=True)
+    cfg = arch.Config(compute_dtype=compute_dtype, remat=remat)
     params, state = arch.init(jax.random.PRNGKey(0), cfg)
     optimizer = make_optimizer(TrainLoopConfig())
     opt_state = optimizer.init(params)
@@ -209,7 +211,7 @@ PHASES = {
     # the time-domain archs (waveform batches, SI-SNR uPIT) at full-size
     # defaults on 4 s utterances — the post-reference families
     "convtasnet": lambda: bench_train_step_wave("ConvTasNet"),
-    "dprnn": lambda: bench_train_step_wave("DPRNN"),
+    "dprnn": lambda: bench_train_step_wave("DPRNN", remat=False),
     "sepformer": lambda: bench_train_step_wave("SepFormer"),
     "dsp": lambda: bench_dsp_bandwidth(),
     "serving": lambda: bench_serving(),

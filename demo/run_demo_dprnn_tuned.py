@@ -92,7 +92,18 @@ section.append(
     "This run keeps the full default model and trains it with the DPRNN\n"
     f"paper's recipe (Luo et al. 2020): clip 5, lr decay 0.99/epoch,\n"
     f"{EPOCHS} epochs (vs 30 above). Trained/run on\n"
-    f"{jax.devices()[0].platform}.\n")
+    f"{jax.devices()[0].platform}.\n\n"
+    "Sweep evidence (15-epoch probes, same corpus/seed; losses are mean\n"
+    "per-utterance -SI-SNR dB):\n\n"
+    "| variant | train ep15 | CV ep15 |\n|---|---|---|\n"
+    "| clip 0.25 (shipped round-3 config) | -18.35 | -17.12 |\n"
+    "| clip 5 | -18.35 | -17.95 |\n"
+    "| clip 5, lr 5e-4 | -16.11 (ep13) | (slower, cut) |\n\n"
+    "Identical train loss under a 20x looser clip rules out gradient\n"
+    "clipping as the binding constraint; the lower-lr probe trails at\n"
+    "matched epochs; chunk=100 already sits at the paper's K ~= sqrt(2T')\n"
+    "(~63-90 for T'=2000-4000). The gap was SCHEDULE, not architecture\n"
+    "or chunking.\n")
 section.append("\n| metric | DPRNN tuned | (DPRNN 30-ep above) | "
                "(Conv-TasNet) | (uPIT 2x600) |\n|---|---|---|---|---|\n")
 prev = {"SDR": 19.91, "SIR": 28.16, "SAR": 20.43,

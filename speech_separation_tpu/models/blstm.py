@@ -155,6 +155,19 @@ def blstm_forward(params, x: jnp.ndarray, lengths: jnp.ndarray,
     if use_pallas is None:
         use_pallas = (compute_dtype == jnp.bfloat16
                       and jax.default_backend() == "tpu")
+        if use_pallas:
+            # VMEM feasibility at K=1 (the kernel's minimum time block):
+            # double-buffered per-step grid blocks + the resident margin
+            # must fit the probed ceiling. Very large row batches (B here
+            # is rows: dual-path archs fold chunks into it) fall back to
+            # the scan path instead of failing compilation.
+            from ..ops.lstm_pallas import _VMEM_CEILING, _VMEM_MARGIN
+            H = h0.shape[-1]
+            step_bytes = (2 * B * 4 * H * 2      # xw (D=2, bf16)
+                          + 2 * 2 * B * H * 2    # ys + cs saves
+                          + 2 * B * 4 * H * 2)   # gates saves
+            if 2 * step_bytes + _VMEM_MARGIN > _VMEM_CEILING:
+                use_pallas = False
 
     out = x
     h_finals, c_finals = [], []

@@ -221,12 +221,13 @@ def _dual_path(cfg: Config, params, h, vt, C: int):
                              ).reshape(B * K).astype(jnp.int32)
     klens = clens.reshape(B * C).astype(jnp.int32)
 
-    # Always the lax.scan recurrence, never the Pallas kernel: dual-path
-    # batches thousands of rows per scan (B*C / B*K), so each step's
-    # hidden matmul is already MXU-shaped and weight re-streaming is
-    # negligible next to activation traffic — while the kernel's
-    # all-rows-resident VMEM blocking overflows scoped VMEM at exactly
-    # these row counts (97 MB at B=32, K=100 reference-demo scale).
+    # Scan engine: use_pallas=None lets blstm_forward pick — the Pallas
+    # full-sequence kernel on TPU in bf16 (weights VMEM-resident, K=1
+    # time-blocking keeps the streamed blocks under the VMEM ceiling even
+    # at dual-path row counts; measured 1.5-1.75x faster per scan than
+    # lax.scan at B*C=2592 / B*K=3200 rows — tools/dprnn_anatomy.py), the
+    # lax.scan recurrence on CPU / in float32. Rows too large for the
+    # kernel's K=1 VMEM budget fall back to the scan automatically.
     def one_block(blk, h, klens, ilens, cmask):
         # intra-chunk: BLSTM over the K frames of every chunk, batched
         # over B*C rows (the MXU-saturating axis); per-chunk true lengths
@@ -235,7 +236,7 @@ def _dual_path(cfg: Config, params, h, vt, C: int):
         x = h.reshape(B * C, K, H)
         y, _ = blstm_forward(blk["intra_rnn"], x, klens,
                              zeros1, zeros1, compute_dtype=dt,
-                             use_pallas=False, remat_scan_step=cfg.remat)
+                             use_pallas=None, remat_scan_step=cfg.remat)
         y = _dot(y, blk["intra_proj"], dt).reshape(B, C, K, H)
         h = (h + _gln_nd(y, blk["intra_ln"], cmask)) * cmask
         # inter-chunk: BLSTM along the chunk axis for every within-chunk
@@ -244,7 +245,7 @@ def _dual_path(cfg: Config, params, h, vt, C: int):
         x = h.transpose(0, 2, 1, 3).reshape(B * K, C, H)
         y, _ = blstm_forward(blk["inter_rnn"], x, ilens,
                              zeros2, zeros2, compute_dtype=dt,
-                             use_pallas=False, remat_scan_step=cfg.remat)
+                             use_pallas=None, remat_scan_step=cfg.remat)
         y = _dot(y, blk["inter_proj"], dt)
         y = y.reshape(B, K, C, H).transpose(0, 2, 1, 3)
         return (h + _gln_nd(y, blk["inter_ln"], cmask)) * cmask

@@ -56,7 +56,10 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-_VMEM_MARGIN = 24 * 1024 * 1024   # resident weights/state/scratch allowance
+_VMEM_MARGIN = 32 * 1024 * 1024   # resident weights/state/scratch allowance
+# (32 MB: under jax.checkpoint the recompute context stacks a few extra MB
+# of operands on the kernel's scoped allocation — 24 MB measured 320 KB
+# short at dual-path inter-scan shapes, B=3200 rows)
 _VMEM_CEILING = 100 * 1024 * 1024  # under the ~112 MB the hw accepts (probed)
 
 _warned: set[str] = set()

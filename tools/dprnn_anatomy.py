@@ -118,7 +118,11 @@ def scan_ab(rows, steps, channels, hidden, iters=10):
 
         @jax.jit
         def grad(p, x):
-            return jax.value_and_grad(lambda p: fwd(p, x))(p)[0]
+            # return value + a grad leaf so the gradient computation stays
+            # live (returning only the value lets XLA DCE the whole VJP)
+            v, g = jax.value_and_grad(lambda p: fwd(p, x))(p)
+            return v + sum(jnp.sum(jnp.abs(l))
+                           for l in jax.tree_util.tree_leaves(g))
 
         try:
             res[f"{tag}_fwd_ms"] = round(timeit(fwd, params, x, iters=iters), 2)
