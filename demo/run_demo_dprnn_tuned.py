@@ -46,7 +46,10 @@ if not os.path.isfile("data/fs_tt/feats_test.scp"):
     extract_features("data/fs_tt", "test", "feats/fs_tt_test", STFTConfig(),
                      compress=False)
 
-MK = {"compute_dtype": "bfloat16", "remat": "1"}
+# remat off: with the Pallas LSTM kernel's compact bf16 residuals the
+# unrematted backward fits HBM at B=32/4 s — the faster production config
+# (docs/performance.md DPRNN anatomy: 174 vs 228 ms/step)
+MK = {"compute_dtype": "bfloat16", "remat": "0"}
 EPOCHS = int(os.environ.get("DPRNN_EPOCHS", 100))
 exp = "exp/DPRNN_tuned_fs_tr"
 

@@ -120,6 +120,20 @@ def _lstm_scan(xw: jnp.ndarray, mask: jnp.ndarray, w_hh: jnp.ndarray,
 
 
 
+def pallas_rows_feasible(rows: int, hidden: int) -> bool:
+    """Whether the Pallas LSTM kernel's K=1 (minimum) time-blocking fits
+    the scoped-VMEM ceiling at this row batch. Double-buffered per-step
+    grid blocks (bf16 xw gates in, ys/cs/gates saves out) plus the
+    resident weights/state margin must stay under the probed ceiling —
+    very large row batches (dual-path archs fold chunks into the row
+    axis) fall back to the lax.scan path instead of failing compilation."""
+    from ..ops.lstm_pallas import _VMEM_CEILING, _VMEM_MARGIN
+    step_bytes = (2 * rows * 4 * hidden * 2      # xw (D=2, bf16)
+                  + 2 * 2 * rows * hidden * 2    # ys + cs saves
+                  + 2 * rows * 4 * hidden * 2)   # gates saves
+    return 2 * step_bytes + _VMEM_MARGIN <= _VMEM_CEILING
+
+
 def blstm_forward(params, x: jnp.ndarray, lengths: jnp.ndarray,
                   h0: jnp.ndarray, c0: jnp.ndarray,
                   compute_dtype=jnp.float32,
@@ -154,20 +168,8 @@ def blstm_forward(params, x: jnp.ndarray, lengths: jnp.ndarray,
 
     if use_pallas is None:
         use_pallas = (compute_dtype == jnp.bfloat16
-                      and jax.default_backend() == "tpu")
-        if use_pallas:
-            # VMEM feasibility at K=1 (the kernel's minimum time block):
-            # double-buffered per-step grid blocks + the resident margin
-            # must fit the probed ceiling. Very large row batches (B here
-            # is rows: dual-path archs fold chunks into it) fall back to
-            # the scan path instead of failing compilation.
-            from ..ops.lstm_pallas import _VMEM_CEILING, _VMEM_MARGIN
-            H = h0.shape[-1]
-            step_bytes = (2 * B * 4 * H * 2      # xw (D=2, bf16)
-                          + 2 * 2 * B * H * 2    # ys + cs saves
-                          + 2 * B * 4 * H * 2)   # gates saves
-            if 2 * step_bytes + _VMEM_MARGIN > _VMEM_CEILING:
-                use_pallas = False
+                      and jax.default_backend() == "tpu"
+                      and pallas_rows_feasible(B, h0.shape[-1]))
 
     out = x
     h_finals, c_finals = [], []

@@ -49,3 +49,22 @@ def test_blstm_pallas_grad_close_to_scan():
         scale = max(1.0, np.abs(b).max())
         # Pallas saves gate activations in bf16 -> ~1e-3 relative
         np.testing.assert_allclose(a / scale, b / scale, atol=2e-2)
+
+
+def test_pallas_rows_feasibility_gate():
+    """The use_pallas=None auto-pick falls back to lax.scan when the
+    kernel's K=1 per-step VMEM blocks would overflow the scoped ceiling
+    (dual-path archs fold chunks into the row axis — rows can be huge)."""
+    from speech_separation_tpu.models.blstm import pallas_rows_feasible
+
+    # production shapes that must stay on the kernel: reference BLSTM
+    # (B=100, H=600) and DPRNN dual-path scans (B*K=3200 rows, H=128)
+    assert pallas_rows_feasible(100, 600)
+    assert pallas_rows_feasible(3200, 128)
+    # far past the ceiling: 16x the dual-path row count must fall back
+    assert not pallas_rows_feasible(51200, 128)
+
+    # monotone in rows: the gate can't re-enable at larger batches
+    feas = [pallas_rows_feasible(r, 128) for r in
+            (1, 100, 3200, 12800, 51200, 204800)]
+    assert feas == sorted(feas, reverse=True)
