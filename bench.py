@@ -84,11 +84,12 @@ def bench_train_step_wave(arch_name: str, B=32, n_sec=4.0, iters=10,
                           compute_dtype="bfloat16", remat=True):
     """Full train step of a DOMAIN='time' arch (waveform batches, SI-SNR
     uPIT) at production scale: full-size model defaults, B utterances of
-    n_sec 8 kHz audio. remat defaults on (the activation footprint of the
-    deep separator over ~2000 latent frames is usually the binding
-    constraint); DPRNN passes remat=False — with the Pallas LSTM kernel's
-    compact bf16 residuals its unrematted backward fits HBM at this scale
-    and is the faster production config (docs/performance.md anatomy)."""
+    n_sec 8 kHz audio. All three time-domain archs bench with
+    remat=False — at B=32/4 s the unrematted backward fits HBM for each
+    and is the faster production config (measured A/B, docs/performance.md:
+    ConvTasNet 169->133 ms, SepFormer 191->154 ms, DPRNN via the Pallas
+    LSTM's compact bf16 residuals 228->174 ms). remat=True remains the
+    knob for longer utterances/bigger batches."""
     import jax
     import jax.numpy as jnp
     from speech_separation_tpu.models.registry import get_arch
@@ -210,9 +211,9 @@ PHASES = {
     "tcn": lambda: bench_train_step(iters=10, arch_name="TCN"),
     # the time-domain archs (waveform batches, SI-SNR uPIT) at full-size
     # defaults on 4 s utterances — the post-reference families
-    "convtasnet": lambda: bench_train_step_wave("ConvTasNet"),
+    "convtasnet": lambda: bench_train_step_wave("ConvTasNet", remat=False),
     "dprnn": lambda: bench_train_step_wave("DPRNN", remat=False),
-    "sepformer": lambda: bench_train_step_wave("SepFormer"),
+    "sepformer": lambda: bench_train_step_wave("SepFormer", remat=False),
     "dsp": lambda: bench_dsp_bandwidth(),
     "serving": lambda: bench_serving(),
 }
