@@ -151,21 +151,27 @@ def init(key, cfg: Config):
     return params, {}
 
 
-def _dot(x, lin, dtype):
-    return head_dot(x, lin["w"], dtype) + lin["b"]
+def _dot(x, lin, dtype, out_dtype=None):
+    y = head_dot(x, lin["w"], dtype) + lin["b"]
+    return y if out_dtype is None else y.astype(out_dtype)
 
 
 def _gln(x, p, tmask, eps=1e-6):
     """Global layer norm with MASKED statistics: one (mu, var) per
     utterance over its true frames x all channels. Masking makes the
     statistics — hence the whole forward — independent of batch/time
-    padding, and exactly matches the unpadded computation."""
+    padding, and exactly matches the unpadded computation. Statistics
+    and normalization in float32 regardless of x's storage dtype; the
+    result is stored back in x's dtype (bf16 on the perf path halves
+    the HBM bytes of this two-pass op — tools/convtasnet_anatomy.py)."""
+    xf = x.astype(jnp.float32)
     C = x.shape[-1]
     cnt = jnp.maximum(jnp.sum(tmask, axis=(1, 2), keepdims=True) * C, 1.0)
-    xm = x * tmask
-    mu = jnp.sum(xm, axis=(1, 2), keepdims=True) / cnt
-    var = jnp.sum(jnp.square((x - mu) * tmask), axis=(1, 2), keepdims=True) / cnt
-    return (x - mu) * jax.lax.rsqrt(var + eps) * p["g"] + p["b"]
+    mu = jnp.sum(xf * tmask, axis=(1, 2), keepdims=True) / cnt
+    var = jnp.sum(jnp.square((xf - mu) * tmask), axis=(1, 2),
+                  keepdims=True) / cnt
+    return (((xf - mu) * jax.lax.rsqrt(var + eps)) * p["g"]
+            + p["b"]).astype(x.dtype)
 
 
 def _norm(x, p, tmask, kind: str):
@@ -200,21 +206,23 @@ def _mask_logits(cfg: Config, params, w, tmask):
     w: (B, T', N) encoder output (already frame-masked).
     Returns (B, T', S, N) masks in [0, inf) (relu) or (0, 1) (sigmoid).
     """
-    h = _dot(_norm(w, params["in_ln"], tmask, cfg.norm),
-             params["bottleneck"], cfg.mxu_dtype) * tmask
+    ad = cfg.mxu_dtype   # activation STORAGE dtype: bf16 on the perf path
+    tm = tmask.astype(ad)
+    h = _dot(_norm(w.astype(ad), params["in_ln"], tmask, cfg.norm),
+             params["bottleneck"], cfg.mxu_dtype, ad) * tm
     for i, blk in enumerate(params["blocks"]):
         dilation = 2 ** (i % cfg.blocks)
-        y = _dot(h, blk["expand"], cfg.mxu_dtype)
+        y = _dot(h, blk["expand"], cfg.mxu_dtype, ad)
         # mask before the conv so pad frames carry zeros, not bias/LN
         # constants, into real frames' conv windows (padding invariance)
-        y = _norm(_prelu(y, blk["prelu1"]), blk["ln1"], tmask, cfg.norm) * tmask
+        y = _norm(_prelu(y, blk["prelu1"]), blk["ln1"], tmask, cfg.norm) * tm
         y = _depthwise(y, blk["dw"], blk["dw_b"], dilation, cfg.causal)
         y = _norm(_prelu(y, blk["prelu2"]), blk["ln2"], tmask, cfg.norm)
-        h = (h + _dot(y, blk["res"], cfg.mxu_dtype)) * tmask
-        s = _dot(y, blk["skip"], cfg.mxu_dtype) * tmask
+        h = (h + _dot(y, blk["res"], cfg.mxu_dtype, ad)) * tm
+        s = _dot(y, blk["skip"], cfg.mxu_dtype, ad) * tm
         skips = s if i == 0 else skips + s
     out = _dot(_prelu(skips, params["head_prelu"]), params["head"],
-               cfg.mxu_dtype)
+               cfg.mxu_dtype)   # head logits back in f32
     B, Tl, _ = out.shape
     out = out.reshape(B, Tl, cfg.num_spk, cfg.n_filters)
     act = jax.nn.relu if cfg.mask_act == "relu" else jax.nn.sigmoid
@@ -299,22 +307,25 @@ def streaming_forward(cfg: Config, params, w, conv_state):
     and the conv sees its full left context via the carried state (VALID
     conv over concat(state, y))."""
     assert cfg.causal, "streaming_forward requires a causal config"
-    h = _dot(_cln(w, params["in_ln"]), params["bottleneck"], cfg.mxu_dtype)
+    ad = cfg.mxu_dtype   # same activation storage dtype as the offline
+    # forward, so streamed output == offline output in EVERY numeric config
+    h = _dot(_cln(w.astype(ad), params["in_ln"]), params["bottleneck"],
+             cfg.mxu_dtype, ad)
     new_state = []
     for i, blk in enumerate(params["blocks"]):
         dilation = 2 ** (i % cfg.blocks)
-        y = _dot(h, blk["expand"], cfg.mxu_dtype)
+        y = _dot(h, blk["expand"], cfg.mxu_dtype, ad)
         y = _cln(_prelu(y, blk["prelu1"]), blk["ln1"])
-        ctx = jnp.concatenate([conv_state[i], y], axis=1)
+        ctx = jnp.concatenate([conv_state[i].astype(ad), y], axis=1)
         new_state.append(ctx[:, ctx.shape[1] - conv_state[i].shape[1]:, :])
         y = jax.lax.conv_general_dilated(
-            ctx, blk["dw"][:, None, :], window_strides=(1,),
+            ctx, blk["dw"].astype(ad)[:, None, :], window_strides=(1,),
             padding=[(0, 0)], rhs_dilation=(dilation,),
             dimension_numbers=("NWC", "WIO", "NWC"),
-            feature_group_count=ctx.shape[-1]) + blk["dw_b"]
+            feature_group_count=ctx.shape[-1]) + blk["dw_b"].astype(ad)
         y = _cln(_prelu(y, blk["prelu2"]), blk["ln2"])
-        h = h + _dot(y, blk["res"], cfg.mxu_dtype)
-        s = _dot(y, blk["skip"], cfg.mxu_dtype)
+        h = h + _dot(y, blk["res"], cfg.mxu_dtype, ad)
+        s = _dot(y, blk["skip"], cfg.mxu_dtype, ad)
         skips = s if i == 0 else skips + s
     out = _dot(_prelu(skips, params["head_prelu"]), params["head"],
                cfg.mxu_dtype)

@@ -145,22 +145,30 @@ def init(key, cfg: Config):
     return params, {}
 
 
-def _dot(x, lin, dtype):
-    return head_dot(x, lin["w"], dtype) + lin["b"]
+def _dot(x, lin, dtype, out_dtype=None):
+    """Matmul in the MXU dtype, f32 accumulation; ``out_dtype`` sets the
+    STORAGE dtype of the result (bf16 on the perf path halves the HBM
+    bytes of every downstream elementwise/norm pass)."""
+    y = head_dot(x, lin["w"], dtype) + lin["b"]
+    return y if out_dtype is None else y.astype(out_dtype)
 
 
 def _gln_nd(x, p, mask, eps=1e-6):
     """Masked global layer norm over all non-batch axes: one (mu, var) per
     utterance over its true positions x all channels, so statistics (hence
     the whole forward) are independent of batch/time padding. x (B, ...,
-    Cdim); mask broadcasts against x with 1.0 at true positions."""
+    Cdim); mask broadcasts against x with 1.0 at true positions.
+    Statistics and normalization in float32 regardless of x's storage
+    dtype; the result is stored back in x's dtype."""
+    xf = x.astype(jnp.float32)
     axes = tuple(range(1, x.ndim))
     cnt = jnp.maximum(jnp.sum(mask, axis=axes, keepdims=True)
                       * x.shape[-1] / mask.shape[-1], 1.0)
-    xm = x * mask
-    mu = jnp.sum(xm, axis=axes, keepdims=True) / cnt
-    var = jnp.sum(jnp.square((x - mu) * mask), axis=axes, keepdims=True) / cnt
-    return (x - mu) * jax.lax.rsqrt(var + eps) * p["g"] + p["b"]
+    mu = jnp.sum(xf * mask, axis=axes, keepdims=True) / cnt
+    var = jnp.sum(jnp.square((xf - mu) * mask), axis=axes,
+                  keepdims=True) / cnt
+    return (((xf - mu) * jax.lax.rsqrt(var + eps)) * p["g"]
+            + p["b"]).astype(x.dtype)
 
 
 def num_chunks(cfg: Config, n_t: int) -> int:
@@ -216,7 +224,9 @@ def _dual_path(cfg: Config, params, h, vt, C: int):
     n_chunks = jnp.maximum((vt + cfg.hop - 1) // cfg.hop + 1, 1)  # (B,)
     zeros1 = jnp.zeros((1, 2, B * C, hid), jnp.float32)
     zeros2 = jnp.zeros((1, 2, B * K, hid), jnp.float32)
-    dt = cfg.mxu_dtype
+    dt = cfg.mxu_dtype          # MXU input AND activation storage dtype
+    cm = cmask.astype(dt)
+    h = h.astype(dt)
     ilens = jnp.broadcast_to(n_chunks[:, None], (B, K)
                              ).reshape(B * K).astype(jnp.int32)
     klens = clens.reshape(B * C).astype(jnp.int32)
@@ -237,8 +247,8 @@ def _dual_path(cfg: Config, params, h, vt, C: int):
         y, _ = blstm_forward(blk["intra_rnn"], x, klens,
                              zeros1, zeros1, compute_dtype=dt,
                              use_pallas=None, remat_scan_step=cfg.remat)
-        y = _dot(y, blk["intra_proj"], dt).reshape(B, C, K, H)
-        h = (h + _gln_nd(y, blk["intra_ln"], cmask)) * cmask
+        y = _dot(y, blk["intra_proj"], dt, dt).reshape(B, C, K, H)
+        h = (h + _gln_nd(y, blk["intra_ln"], cmask)) * cm
         # inter-chunk: BLSTM along the chunk axis for every within-chunk
         # position, batched over B*K rows; per-row true chunk counts keep
         # trailing all-pad chunks out of the backward direction
@@ -246,9 +256,9 @@ def _dual_path(cfg: Config, params, h, vt, C: int):
         y, _ = blstm_forward(blk["inter_rnn"], x, ilens,
                              zeros2, zeros2, compute_dtype=dt,
                              use_pallas=None, remat_scan_step=cfg.remat)
-        y = _dot(y, blk["inter_proj"], dt)
+        y = _dot(y, blk["inter_proj"], dt, dt)
         y = y.reshape(B, K, C, H).transpose(0, 2, 1, 3)
-        return (h + _gln_nd(y, blk["inter_ln"], cmask)) * cmask
+        return (h + _gln_nd(y, blk["inter_ln"], cmask)) * cm
 
     # remat is applied HERE, per dual-path block, not around the whole
     # core: a scan's backward saves per-step gate/carry residuals, so 12
@@ -280,8 +290,9 @@ def _separate_core(cfg: Config, params, wav, sample_lengths):
              ).astype(jnp.float32)[:, :, None]
     w = w * tmask
 
-    h = _dot(_gln_nd(w, params["in_ln"], tmask), params["bottleneck"],
-             cfg.mxu_dtype) * tmask
+    ad = cfg.mxu_dtype
+    h = _dot(_gln_nd(w.astype(ad), params["in_ln"], tmask),
+             params["bottleneck"], cfg.mxu_dtype, ad) * tmask.astype(ad)
     C = num_chunks(cfg, n_t)
     h, cmask = _dual_path(cfg, params, _segment(h, cfg.hop), vt, C)
 

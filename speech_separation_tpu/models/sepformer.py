@@ -153,17 +153,24 @@ def _attention(layer, x, key_mask, cfg: Config):
     is supported on real positions only — pad-row queries produce junk
     that the caller's chunk mask re-zeroes)."""
     R, T, H = x.shape
+    ad = x.dtype                 # activation storage dtype (bf16 perf path)
     nh, dh = cfg.heads, H // cfg.heads
-    y = _cln(x, layer["ln1"]) + _sinusoid_pe(T, H)
-    qkv = _dot(y, layer["qkv"], cfg.mxu_dtype).reshape(R, T, 3, nh, dh)
+    y = _cln(x, layer["ln1"]) + _sinusoid_pe(T, H).astype(ad)
+    qkv = _dot(y, layer["qkv"], cfg.mxu_dtype, ad).reshape(R, T, 3, nh, dh)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # (R, T, nh, dh)
-    logits = jnp.einsum("rqhd,rkhd->rhqk", q, k) / np.sqrt(dh)
+    # attention matmuls run at the MXU dtype's rate with f32 accumulation;
+    # the softmax itself stays f32 (bf16 logits would quantize the
+    # distribution and the -1e9 key masking)
+    logits = jnp.einsum("rqhd,rkhd->rhqk", q, k,
+                        preferred_element_type=jnp.float32) / np.sqrt(dh)
     logits = logits + (1.0 - key_mask)[:, None, None, :] * (-1e9)
-    w = jax.nn.softmax(logits, axis=-1)
-    o = jnp.einsum("rhqk,rkhd->rqhd", w, v).reshape(R, T, H)
-    x = x + _dot(o, layer["out"], cfg.mxu_dtype)
-    y = _dot(_cln(x, layer["ln2"]), layer["ff1"], cfg.mxu_dtype)
-    return x + _dot(jax.nn.relu(y), layer["ff2"], cfg.mxu_dtype)
+    w = jax.nn.softmax(logits, axis=-1).astype(ad)
+    o = jnp.einsum("rhqk,rkhd->rqhd", w, v,
+                   preferred_element_type=jnp.float32
+                   ).reshape(R, T, H).astype(ad)
+    x = x + _dot(o, layer["out"], cfg.mxu_dtype, ad)
+    y = _dot(_cln(x, layer["ln2"]), layer["ff1"], cfg.mxu_dtype, ad)
+    return x + _dot(jax.nn.relu(y), layer["ff2"], cfg.mxu_dtype, ad)
 
 
 def _dual_path(cfg: Config, params, h, vt, C: int):
@@ -184,13 +191,16 @@ def _dual_path(cfg: Config, params, h, vt, C: int):
     # x + FFN), so the dual-path wrapper only re-masks pad positions —
     # attention of a pad-row query reads real keys (its key mask is
     # support-only) and would otherwise leak nonzero junk into pad slots
+    ad = cfg.mxu_dtype          # activation storage dtype in the trunk
+    h = h.astype(ad)
+    cm = cmask.astype(ad)
     for blk in params["blocks"]:
         x = h.reshape(B * C, K, H)
         y = _attention(blk["intra"], x, kmask_intra, cfg)
-        h = y.reshape(B, C, K, H) * cmask
+        h = y.reshape(B, C, K, H) * cm
         x = h.transpose(0, 2, 1, 3).reshape(B * K, C, H)
         y = _attention(blk["inter"], x, kmask_inter, cfg)
-        h = y.reshape(B, K, C, H).transpose(0, 2, 1, 3) * cmask
+        h = y.reshape(B, K, C, H).transpose(0, 2, 1, 3) * cm
     return h, cmask
 
 
@@ -206,8 +216,9 @@ def _separate_core(cfg: Config, params, wav, sample_lengths):
              ).astype(jnp.float32)[:, :, None]
     w = w * tmask
 
-    h = _dot(_gln_nd(w, params["in_ln"], tmask), params["bottleneck"],
-             cfg.mxu_dtype) * tmask
+    ad = cfg.mxu_dtype
+    h = _dot(_gln_nd(w.astype(ad), params["in_ln"], tmask),
+             params["bottleneck"], cfg.mxu_dtype, ad) * tmask.astype(ad)
     C = num_chunks(cfg, n_t)
     h, cmask = _dual_path(cfg, params, _segment(h, cfg.hop), vt, C)
 

@@ -132,38 +132,51 @@ def init(key, cfg: Config):
     return params, {}
 
 
-def _dot(x, lin, dtype):
-    """1x1 conv as a batched matmul in the MXU dtype, f32 accumulation."""
-    return head_dot(x, lin["w"], dtype) + lin["b"]
+def _dot(x, lin, dtype, out_dtype=None):
+    """1x1 conv as a batched matmul in the MXU dtype, f32 accumulation.
+    ``out_dtype`` (the perf path passes bfloat16) sets the STORAGE dtype
+    of the result: on a bandwidth-bound block stack the (B, T, hidden)
+    activation tensors dominate HBM traffic, and storing them in bf16
+    halves every downstream elementwise/norm pass's bytes (measured 1.66x
+    on the Conv-TasNet separator grad — tools/convtasnet_anatomy.py)."""
+    y = head_dot(x, lin["w"], dtype) + lin["b"]
+    return y if out_dtype is None else y.astype(out_dtype)
 
 
 def _prelu(x, alpha):
-    return jnp.where(x >= 0, x, x * alpha)
+    return jnp.where(x >= 0, x, x * alpha.astype(x.dtype))
 
 
 def _cln(x, p, eps=1e-6):
     """Per-frame (channelwise) layer norm — no batch statistics, so eval
-    mode == train mode and padding rows cannot leak into real rows."""
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * p["g"] + p["b"]
+    mode == train mode and padding rows cannot leak into real rows.
+    Statistics and normalization in float32 regardless of x's storage
+    dtype; the result is stored back in x's dtype."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    return (((xf - mu) * jax.lax.rsqrt(var + eps)) * p["g"]
+            + p["b"]).astype(x.dtype)
 
 
 def _depthwise(x, kernel, bias, dilation: int, causal: bool = False):
     """Depthwise dilated conv over time. x (B, T, H), kernel (K, H).
-    Centered (SAME, (K-1)//2*d each side) or causal ((K-1)*d left)."""
+    Centered (SAME, (K-1)//2*d each side) or causal ((K-1)*d left).
+    Runs in x's dtype (a 3-tap depthwise accumulation loses nothing
+    meaningful in bf16; A/B'd against a shift-and-add formulation, the
+    grouped conv op is the faster lowering — tools/convtasnet_anatomy.py)."""
     K = kernel.shape[0]
     if causal:
         pad = ((K - 1) * dilation, 0)
     else:
         pad = ((K - 1) // 2 * dilation,) * 2
     y = jax.lax.conv_general_dilated(
-        x, kernel[:, None, :],                    # (K, 1, H) = (spatial, in/group, out)
+        x, kernel.astype(x.dtype)[:, None, :],    # (K, 1, H) = (spatial, in/group, out)
         window_strides=(1,), padding=[pad],
         rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=x.shape[-1])
-    return y + bias
+    return y + bias.astype(x.dtype)
 
 
 def forward(cfg: Config, params, state, x, lengths, row_mask, rng,
@@ -173,26 +186,28 @@ def forward(cfg: Config, params, state, x, lengths, row_mask, rng,
     are accepted for the plugin contract; the forward is deterministic and
     mode-free."""
     B, T, F = x.shape
+    ad = cfg.mxu_dtype   # activation STORAGE dtype: bf16 on the perf path
     tmask = (jnp.arange(T)[None, :] < lengths[:, None]
              ).astype(jnp.float32)[:, :, None]
-    h = _dot(_cln(x, params["in_ln"]), params["in_proj"], cfg.mxu_dtype)
-    h = h * tmask
+    tm = tmask.astype(ad)
+    h = _dot(_cln(x, params["in_ln"]), params["in_proj"], cfg.mxu_dtype, ad)
+    h = h * tm
     for i, blk in enumerate(params["blocks"]):
         dilation = 2 ** (i % cfg.blocks)
-        y = _dot(h, blk["expand"], cfg.mxu_dtype)
+        y = _dot(h, blk["expand"], cfg.mxu_dtype, ad)
         # mask before the depthwise conv: pad frames otherwise carry
         # bias/LN constants into real frames' conv windows, which would
         # differ from the conv's own zero padding at the T boundary and
         # break padding invariance
-        y = _cln(_prelu(y, blk["prelu1"]), blk["ln1"]) * tmask
+        y = _cln(_prelu(y, blk["prelu1"]), blk["ln1"]) * tm
         y = _depthwise(y, blk["dw"], blk["dw_b"], dilation, cfg.causal)
         y = _cln(_prelu(y, blk["prelu2"]), blk["ln2"])
         # residual continues the trunk; skips accumulate toward the head
-        h = (h + _dot(y, blk["res"], cfg.mxu_dtype)) * tmask
-        s = _dot(y, blk["skip"], cfg.mxu_dtype) * tmask
+        h = (h + _dot(y, blk["res"], cfg.mxu_dtype, ad)) * tm
+        s = _dot(y, blk["skip"], cfg.mxu_dtype, ad) * tm
         skips = s if i == 0 else skips + s
     out = _dot(_prelu(skips, params["head_prelu"]), params["head"],
-               cfg.mxu_dtype)
+               cfg.mxu_dtype)   # head logits back in f32
     return jax.nn.sigmoid(out) * tmask, state
 
 
@@ -215,22 +230,24 @@ def streaming_forward(cfg: Config, params, x, conv_state):
     via the carried state (VALID conv over concat(state, y)).
     """
     assert cfg.causal, "streaming_forward requires a causal config"
-    h = _dot(_cln(x, params["in_ln"]), params["in_proj"], cfg.mxu_dtype)
+    ad = cfg.mxu_dtype   # same activation storage dtype as the offline
+    # forward, so streamed output == offline output in EVERY numeric config
+    h = _dot(_cln(x, params["in_ln"]), params["in_proj"], cfg.mxu_dtype, ad)
     new_state = []
     for i, blk in enumerate(params["blocks"]):
         dilation = 2 ** (i % cfg.blocks)
-        y = _dot(h, blk["expand"], cfg.mxu_dtype)
+        y = _dot(h, blk["expand"], cfg.mxu_dtype, ad)
         y = _cln(_prelu(y, blk["prelu1"]), blk["ln1"])
-        ctx = jnp.concatenate([conv_state[i], y], axis=1)
+        ctx = jnp.concatenate([conv_state[i].astype(ad), y], axis=1)
         new_state.append(ctx[:, ctx.shape[1] - conv_state[i].shape[1]:, :])
         y = jax.lax.conv_general_dilated(
-            ctx, blk["dw"][:, None, :], window_strides=(1,),
+            ctx, blk["dw"].astype(ad)[:, None, :], window_strides=(1,),
             padding=[(0, 0)], rhs_dilation=(dilation,),
             dimension_numbers=("NWC", "WIO", "NWC"),
-            feature_group_count=ctx.shape[-1]) + blk["dw_b"]
+            feature_group_count=ctx.shape[-1]) + blk["dw_b"].astype(ad)
         y = _cln(_prelu(y, blk["prelu2"]), blk["ln2"])
-        h = h + _dot(y, blk["res"], cfg.mxu_dtype)
-        s = _dot(y, blk["skip"], cfg.mxu_dtype)
+        h = h + _dot(y, blk["res"], cfg.mxu_dtype, ad)
+        s = _dot(y, blk["skip"], cfg.mxu_dtype, ad)
         skips = s if i == 0 else skips + s
     out = _dot(_prelu(skips, params["head_prelu"]), params["head"],
                cfg.mxu_dtype)
