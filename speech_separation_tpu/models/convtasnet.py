@@ -179,13 +179,18 @@ def _norm(x, p, tmask, kind: str):
 
 
 def _depthwise(x, kernel, bias, dilation: int, causal: bool):
+    """Depthwise dilated conv over time, run in x's STORAGE dtype (bf16 on
+    the perf path — a 3-tap depthwise accumulation loses nothing meaningful
+    in bf16, and the grouped conv op is the faster lowering vs shift-and-add
+    per the A/B in tools/convtasnet_anatomy.py)."""
     K = kernel.shape[0]
     pad = ((K - 1) * dilation, 0) if causal else ((K - 1) // 2 * dilation,) * 2
     y = jax.lax.conv_general_dilated(
-        x, kernel[:, None, :], window_strides=(1,), padding=[pad],
-        rhs_dilation=(dilation,), dimension_numbers=("NWC", "WIO", "NWC"),
+        x, kernel.astype(x.dtype)[:, None, :], window_strides=(1,),
+        padding=[pad], rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=x.shape[-1])
-    return y + bias
+    return y + bias.astype(x.dtype)
 
 
 def latent_frames(cfg: Config, total_samples: int) -> int:
