@@ -22,6 +22,16 @@ phase runs in a CHILD process with a hard deadline, and the parent (which
 never initializes the backend itself) re-emits the merged JSON after each
 phase. A mid-run hang therefore costs one phase, not the run: all
 previously completed measurements survive in the last emitted line.
+
+BUDGET GATE: the driver wraps this script in an external `timeout`
+(BENCH_r04 died rc=124 mid-phase). SEPSEP_BENCH_BUDGET (default 1700 s,
+counted from process start) bounds total wall: a phase whose worst-case
+wall (cold-vs-warm compile cache, picked from observed compile_s) exceeds
+the remaining budget is skipped AND reported in `failed_phases`, so the
+run always ends with a complete artifact and rc=0. Phases are ordered so
+each model family's headline lands before any redundant variant. With a
+warm persistent compile cache (sepsep warmup / a prior bench run on the
+same machine) every phase fits comfortably.
 """
 
 import json
@@ -165,22 +175,34 @@ def bench_dsp_bandwidth(B=64, n_sec=6.0, iters=20):
             "audio_sec_per_sec": B * n_sec / dt}
 
 
-def bench_serving(B=16, n_sec=6.0, rounds=6):
+def bench_serving(B=16, n_sec=6.0, rounds=6, clients=8, reqs_per_client=4,
+                  upit_kwargs=None):
     """Fused serving path (eval/pipeline.py): wav in -> STFT -> BLSTM mask
     -> masked iSTFT -> wav out, full-size uPIT, one jit program; includes
-    the host<->device transfers a server would pay."""
+    the host<->device transfers a server would pay. Two measurements:
+    (1) warm batch throughput through the pipeline directly, and (2)
+    per-request p50/p99 latency through the resident server (eval/serve.py)
+    under `clients` concurrent single-file connections — the number a user
+    of `sepsep serve` actually experiences (queue wait + coalesced device
+    batch + wav writes)."""
+    import socket
     import tempfile
+    import threading
 
     import jax
     from speech_separation_tpu.eval.pipeline import SeparationPipeline
+    from speech_separation_tpu.eval.serve import SeparationServer
     from speech_separation_tpu.models import upit
     from speech_separation_tpu.train.checkpoint import save_checkpoint
+    from speech_separation_tpu.utils.audio import write_wav_int16
 
-    cfg = upit.Config()  # full size
+    cfg = upit.Config(**(upit_kwargs or {}))  # full size by default
     params, state = upit.init(jax.random.PRNGKey(0), cfg)
     with tempfile.TemporaryDirectory() as d:
         path = os.path.join(d, "m.mdl")
-        save_checkpoint(path, params=params, state=state, meta={"arch": "uPIT"})
+        save_checkpoint(path, params=params, state=state,
+                        meta={"arch": "uPIT",
+                              "model_kwargs": dict(upit_kwargs or {})})
         pipe = SeparationPipeline(path, batch_size=B)
         rng = np.random.default_rng(0)
         sigs = [(0.1 * rng.standard_normal(int(8000 * n_sec))).astype(np.float32)
@@ -190,33 +212,101 @@ def bench_serving(B=16, n_sec=6.0, rounds=6):
         for _ in range(rounds):
             pipe.separate(sigs)
         dt = (time.time() - t0) / rounds
-    return {"utts_per_sec": B / dt, "batch_ms": dt * 1e3,
-            "audio_sec_per_sec": B * n_sec / dt}
+        res = {"utts_per_sec": B / dt, "batch_ms": dt * 1e3,
+               "audio_sec_per_sec": B * n_sec / dt}
+
+        # --- per-request latency through the resident server ------------
+        # pad_batches=True reuses the executables the warmup above already
+        # compiled (one program per time bucket at batch B), so this adds
+        # no compile cost to the phase.
+        wav_paths = []
+        for i in range(clients):
+            p = os.path.join(d, f"in_{i}.wav")
+            write_wav_int16(p, 8000, (sigs[i % B] * 20000).astype(np.int16))
+            wav_paths.append(p)
+        sock_path = os.path.join(d, "serve.sock")
+        server = SeparationServer(pipe, sock_path, coalesce=clients)
+        server.warmup([n_sec])
+        st = threading.Thread(target=server.serve_forever, daemon=True)
+        st.start()
+        deadline = time.time() + 30
+        while not os.path.exists(sock_path) and time.time() < deadline:
+            time.sleep(0.05)
+
+        def _request(payload: dict) -> dict:
+            with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
+                s.connect(sock_path)
+                with s.makefile("rwb") as f:
+                    f.write(json.dumps(payload).encode() + b"\n")
+                    f.flush()
+                    return json.loads(f.readline())
+
+        errors = []
+
+        def _client(i: int) -> None:
+            out_dir = os.path.join(d, f"out_{i}")
+            for _ in range(reqs_per_client):
+                r = _request({"wavs": [wav_paths[i]], "out_dir": out_dir})
+                if not r.get("ok"):
+                    errors.append(r.get("error", "?"))
+
+        t0 = time.time()
+        threads = [threading.Thread(target=_client, args=(i,))
+                   for i in range(clients)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.time() - t0
+        ping = _request({"cmd": "ping"})
+        _request({"cmd": "shutdown"})
+        st.join(timeout=10)
+        lat = ping.get("latency_ms", {})
+        n_req = clients * reqs_per_client
+        res.update({
+            "p50_ms": lat.get("p50"), "p99_ms": lat.get("p99"),
+            "concurrent_clients": clients,
+            "server_utts_per_sec": (n_req - len(errors)) / wall,
+            "server_errors": len(errors),
+        })
+    return res
 
 
 # phase name -> zero-arg callable returning the raw result dict.
-# Ordered: headline first, so an early outage still produces `value`.
+# Ordered so each family's HEADLINE lands first (VERDICT r04 #1): the
+# budget gate or an outage then costs redundant variants (tcn, upit_f32,
+# upit_b128), never a family's only number.
 PHASES = {
     "upit_bf16": lambda: bench_train_step(),
+    # the time-domain archs (waveform batches, SI-SNR uPIT) at full-size
+    # defaults on 4 s utterances — the post-reference families
+    "convtasnet": lambda: bench_train_step_wave("ConvTasNet", remat=False),
+    "sepformer": lambda: bench_train_step_wave("SepFormer", remat=False),
+    "dprnn": lambda: bench_train_step_wave("DPRNN", remat=False),
+    # the second flagship arch at reference scale (archs/RSH.py:155-157):
+    # S sequential extraction passes + greedy assignment + backward
+    "rsh": lambda: bench_train_step(iters=10, arch_name="RSH"),
+    "dsp": lambda: bench_dsp_bandwidth(),
+    "serving": lambda: bench_serving(),
+    # the beyond-reference TCN at matched (~13M) params: no recurrence,
+    # pure MXU matmuls/convs — the framework-native arch's throughput
+    "tcn": lambda: bench_train_step(iters=10, arch_name="TCN"),
     "upit_f32": lambda: bench_train_step(iters=10, compute_dtype="float32"),
     # batch 128 (MXU-tile-aligned) rides the recurrence's latency almost
     # free — the per-utterance ceiling; batch 100 stays the headline for
     # comparability with the reference's configuration
     "upit_b128": lambda: bench_train_step(B=128, iters=10),
-    # the second flagship arch at reference scale (archs/RSH.py:155-157):
-    # S sequential extraction passes + greedy assignment + backward
-    "rsh": lambda: bench_train_step(iters=10, arch_name="RSH"),
-    # the beyond-reference TCN at matched (~13M) params: no recurrence,
-    # pure MXU matmuls/convs — the framework-native arch's throughput
-    "tcn": lambda: bench_train_step(iters=10, arch_name="TCN"),
-    # the time-domain archs (waveform batches, SI-SNR uPIT) at full-size
-    # defaults on 4 s utterances — the post-reference families
-    "convtasnet": lambda: bench_train_step_wave("ConvTasNet", remat=False),
-    "dprnn": lambda: bench_train_step_wave("DPRNN", remat=False),
-    "sepformer": lambda: bench_train_step_wave("SepFormer", remat=False),
-    "dsp": lambda: bench_dsp_bandwidth(),
-    "serving": lambda: bench_serving(),
 }
+
+# worst-case wall seconds per phase: COLD = empty compile cache on the
+# tunnel backend (measured compiles: uPIT 287 s, SepFormer 504 s, DPRNN
+# 225 s — BENCH_r04 / VERDICT r04), WARM = persistent-cache hit (compile
+# deserializes in seconds). The budget gate picks per observed compile_s.
+WORST_COLD = {"upit_bf16": 420, "convtasnet": 500, "sepformer": 720,
+              "dprnn": 480, "rsh": 820, "dsp": 150, "serving": 500,
+              "tcn": 260, "upit_f32": 260, "upit_b128": 130}
+WORST_WARM = {name: 120 for name in WORST_COLD}
+WORST_WARM.update({"rsh": 180, "serving": 180})
 
 
 def run_phase_child(name: str) -> None:
@@ -300,11 +390,14 @@ DETAIL_FIELDS = [
     ("dsp_audio_sec_per_sec", "dsp", "audio_sec_per_sec", 0),
     ("serving_utts_per_sec", "serving", "utts_per_sec", 2),
     ("serving_audio_sec_per_sec", "serving", "audio_sec_per_sec", 0),
+    ("serving_p50_ms", "serving", "p50_ms", 2),
+    ("serving_p99_ms", "serving", "p99_ms", 2),
+    ("serving_concurrent_utts_per_sec", "serving", "server_utts_per_sec", 2),
 ]
 
 
 def merged_line(results: dict, failures: dict, baseline_utts,
-                probe_latency: float) -> str:
+                probe_latency: float, phase_stats: dict | None = None) -> str:
     head = results.get("upit_bf16")
     value = round(head["utts_per_sec"], 2) if head else 0
     detail = {}
@@ -321,6 +414,10 @@ def merged_line(results: dict, failures: dict, baseline_utts,
         if "device" in res:
             detail["device"] = res["device"]
             break
+    if phase_stats:
+        # per-phase wall + compile so budget/compile regressions are
+        # visible in the artifact itself (VERDICT r04 #1c)
+        detail["phases"] = phase_stats
     if failures:
         detail["failed_phases"] = failures
     if not head:
@@ -364,7 +461,23 @@ def main():
         with open(baseline_path) as f:
             baseline_utts = json.load(f).get("utts_per_sec")
 
-    probe_latency = wait_for_healthy_backend()
+    t_start = time.time()
+    # Total wall budget for the whole bench, counted from process start
+    # (the driver kills us with an external `timeout`: BENCH_r04 rc=124).
+    # A phase whose worst-case wall does not fit the remaining budget is
+    # SKIPPED (and reported) instead of being killed mid-flight — so the
+    # last emitted line is always a complete, self-describing artifact.
+    try:
+        budget = float(os.environ.get("SEPSEP_BENCH_BUDGET", 1700))
+    except ValueError:
+        budget = 1700.0
+    # a down backend must not eat the whole budget waiting
+    try:
+        max_wait = float(os.environ.get("SEPSEP_BENCH_MAX_WAIT", 1200))
+    except ValueError:
+        max_wait = 1200.0
+    probe_latency = wait_for_healthy_backend(
+        max_wait_s=min(max_wait, budget * 0.5))
     try:
         phase_timeout = float(os.environ.get("SEPSEP_BENCH_PHASE_TIMEOUT", 900))
     except ValueError:
@@ -372,13 +485,27 @@ def main():
 
     results: dict = {}
     failures: dict = {}
+    phase_stats: dict = {}
+    cache_warm = False  # flips once a phase observes a near-zero compile
     for name in PHASES:
+        worst = (WORST_WARM if cache_warm else WORST_COLD)[name]
+        remaining = budget - (time.time() - t_start)
+        if remaining < worst:
+            failures[name] = (f"skipped: {remaining:.0f}s left < {worst:.0f}s "
+                              f"worst-case ({'warm' if cache_warm else 'cold'}"
+                              " cache)")
+            print(f"# bench: phase {name} SKIPPED ({failures[name]})",
+                  file=sys.stderr, flush=True)
+            print(merged_line(results, failures, baseline_utts, probe_latency,
+                              phase_stats), flush=True)
+            continue
         print(f"# bench: phase {name}", file=sys.stderr, flush=True)
         t0 = time.time()
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--phase", name],
-                capture_output=True, text=True, timeout=phase_timeout)
+                capture_output=True, text=True,
+                timeout=min(phase_timeout, max(remaining - 10, 60)))
             line = next((l for l in r.stdout.splitlines()
                          if l.startswith("BENCH_PHASE_RESULT ")), None)
             if r.returncode == 0 and line:
@@ -392,10 +519,17 @@ def main():
         status = "ok" if name in results else f"FAILED ({failures.get(name)})"
         print(f"# bench: phase {name} {status} [{dt:.0f}s]",
               file=sys.stderr, flush=True)
+        if name in results:
+            stat = {"wall_s": round(dt, 1)}
+            if "compile_s" in results[name]:
+                stat["compile_s"] = round(results[name]["compile_s"], 1)
+                if results[name]["compile_s"] < 25:
+                    cache_warm = True
+            phase_stats[name] = stat
         # re-emit the running merge after every phase: a later hang or a
         # driver kill preserves everything measured so far as the last line
-        print(merged_line(results, failures, baseline_utts, probe_latency),
-              flush=True)
+        print(merged_line(results, failures, baseline_utts, probe_latency,
+                          phase_stats), flush=True)
     raise SystemExit(0 if "upit_bf16" in results else 1)
 
 

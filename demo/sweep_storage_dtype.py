@@ -11,7 +11,8 @@ recipe (clip 5, lr decay 0.99 — demo/RESULTS.md like-for-like table),
 comparing compute_dtype=float32 against bfloat16 per arch. Losses are
 mean per-utterance -SI-SNR dB, so a gap of 0.1 means 0.1 dB.
 
-Results land in demo/RESULTS.md ("Storage-dtype quality probe").
+Prints a JSON table to stdout; transcribe it into demo/RESULTS.md
+("Storage-dtype quality probe") by hand.
 Run from demo/ on the chip:  PYTHONPATH=..:/root/.axon_site \
     python sweep_storage_dtype.py   (SWEEP_ARCHS=ConvTasNet to subset)
 """
@@ -64,10 +65,12 @@ for arch in ARCHS:
                   open(f"{exp}/train_stats/train_loss.txt") if l.strip()]
         cv = [float(l.split()[1]) for l in
               open(f"{exp}/train_stats/cv_loss.txt") if l.strip()]
-        rows[tag] = {"train_final": losses[-1], "cv_final": cv[-1],
+        # cv_loss.txt is empty when EPOCHS < cv_every (no CV pass ran)
+        cv_final = cv[-1] if cv else float("nan")
+        rows[tag] = {"train_final": losses[-1], "cv_final": cv_final,
                      "wall_s": round(wall),
                      "utts_per_sec": round(out["utts_per_sec"], 1)}
-        print(f"{tag}: train {losses[-1]:.2f} cv {cv[-1]:.2f} "
+        print(f"{tag}: train {losses[-1]:.2f} cv {cv_final:.2f} "
               f"wall {wall:.0f}s ({rows[tag]['utts_per_sec']} utts/s)",
               flush=True)
 
