@@ -464,6 +464,75 @@ def cmd_doctor(args):
         raise SystemExit(1)
 
 
+def cmd_warmup(args):
+    """Pre-populate the persistent compile cache for a training config.
+
+    AOT-compiles (``jit(...).lower(...).compile()`` — no execution, no
+    training data needed) the full train step for each requested arch at
+    the exact batch shapes a run would hit, so the first real step of
+    `sepsep run-train` — or a later `sepsep bench` — deserializes the
+    executable in seconds instead of recompiling for minutes (measured
+    cold compiles on the tunnel backend: uPIT 287 s, SepFormer 504 s —
+    docs/performance.md). Serving programs are pre-compiled separately by
+    `sepsep serve --warmup-sec`. Cache hits are cross-process: the cache
+    key covers program HLO + compile options + backend, so any process on
+    this machine with the same config reuses the entry
+    (utils/compile_cache.py; cross-process hit is regression-tested in
+    tests/test_compile_cache.py)."""
+    import time as _time
+
+    import jax
+    import numpy as _np
+
+    from ..models.registry import ARCHS, get_arch
+    from ..train.loop import TrainLoopConfig, make_optimizer, make_update_step
+    from ..utils.compile_cache import enable_compilation_cache
+
+    cache_dir = enable_compilation_cache()
+    names = args.archs.split(",") if args.archs else sorted(ARCHS)
+    model_kwargs = read_model_config(args.model_config) if args.model_config \
+        else {}
+    B = args.batch_size
+    for name in names:
+        arch = get_arch(name.strip())
+        cfg = arch.Config.from_kwargs(compute_dtype=args.compute_dtype,
+                                      **model_kwargs)
+        t0 = _time.time()
+        params, state = arch.init(jax.random.PRNGKey(0), cfg)
+        optimizer = make_optimizer(TrainLoopConfig())
+        opt_state = optimizer.init(params)
+        step = make_update_step(arch, cfg, optimizer)
+        if getattr(arch, "DOMAIN", "spectrum") == "time":
+            L = int(args.seconds * 8000)
+            batch = {
+                "mix_wav": _np.zeros((B, L), _np.float32),
+                "source_wavs": _np.zeros((B, cfg.num_spk, L), _np.float32),
+                "sample_lengths": _np.full(B, L, _np.int32),
+                "row_mask": _np.ones(B, _np.float32),
+            }
+        else:
+            T, F, S = args.frames, cfg.feat_dim, cfg.num_spk
+            batch = {
+                "mix": _np.zeros((B, T, F), _np.float32),
+                "sources": _np.zeros((B, S, T, F), _np.float32),
+                "lengths": _np.full(B, T, _np.int32),
+                "row_mask": _np.ones(B, _np.float32),
+            }
+        n_before = len(os.listdir(cache_dir)) if cache_dir else 0
+        step.lower(params, state, opt_state, batch,
+                   jax.random.PRNGKey(1)).compile()
+        dt = _time.time() - t0
+        wrote = (len(os.listdir(cache_dir)) - n_before) if cache_dir else 0
+        # new cache entries written => this shape was cold; none => the
+        # executable deserialized from a prior run's entry
+        status = (f"cold compile, {wrote} cache entr"
+                  f"{'y' if wrote == 1 else 'ies'} written"
+                  if wrote else "cache hit")
+        print(f"warmup {arch.NAME}: train step ready in {dt:.1f}s ({status})",
+              flush=True)
+    print(f"compile cache: {cache_dir or 'DISABLED'}")
+
+
 def cmd_bench(args):
     """Run the repo's benchmark harness (bench.py at the repo root): the
     reference-scale train-step throughput + DSP-bandwidth JSON line."""
@@ -965,6 +1034,24 @@ def build_parser():
     p.add_argument("--rsh", action="store_true",
                    help="measure the RSH full train step instead of uPIT")
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("warmup",
+                       help="pre-populate the persistent compile cache: "
+                            "AOT-compile train steps for the given archs "
+                            "and shapes (serving shapes: `sepsep serve "
+                            "--warmup-sec`)")
+    p.add_argument("--archs", default="",
+                   help="comma-separated arch names (default: all "
+                        "registered)")
+    p.add_argument("--batch-size", type=int, default=100)
+    p.add_argument("--frames", type=int, default=384,
+                   help="padded frame count for spectral archs")
+    p.add_argument("--seconds", type=float, default=4.0,
+                   help="utterance length for time-domain archs")
+    p.add_argument("--compute-dtype", default="bfloat16")
+    p.add_argument("--model-config",
+                   help="key=value file of model hyperparameters")
+    p.set_defaults(fn=cmd_warmup)
 
     p = sub.add_parser("import-model",
                        help="convert a reference torch .mdl state-dict into "
