@@ -142,3 +142,44 @@ def shard_params(params, mesh: Mesh, lstm_gates: bool = False):
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)
+
+
+def shard_params_convtasnet(params, mesh: Mesh):
+    """Megatron-style tensor parallelism for the ConvTasNet separator
+    (models/convtasnet.py tree). Within each residual block the hidden
+    axis H is the sharded dimension: ``expand`` (B->H 1x1) is
+    column-parallel, the depthwise conv / PReLU / layer-norm parameters
+    live entirely in their own H-shard, and ``res``/``skip`` (H->B 1x1)
+    are row-parallel — so GSPMD needs ONE all-reduce per block, at the
+    res/skip output, not one per matmul. The mask head (B -> N*S) is
+    column-parallel; encoder/decoder/bottleneck stay replicated (at most
+    filter_len x n_filters — too small to pay a collective for).
+
+    Numerically exact (tests/test_multichip_convtasnet.py pins dp x tp
+    against single-device). POSTURE: like the LSTM archs, production
+    time-domain training at 2-9M params is data-parallel — docs/design.md
+    "Tensor parallelism" records the measurement-backed rationale — and
+    this placement exists so TP is a config flip, not a rewrite, when an
+    arch scales past what DP feeds. With mesh model=1: replication.
+    """
+    if mesh.shape["model"] == 1:
+        return replicate_tree(params, mesh)
+
+    def place(path, x):
+        names = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+        spec = P()
+        if "blocks" in names:
+            if any(n in names for n in ("expand", "dw", "dw_b", "prelu1",
+                                        "prelu2", "ln1", "ln2")):
+                # H-resident tensors: (B,H) weights / (3,H) depthwise /
+                # (H,) gains, biases, slopes — all split on H
+                spec = P(None, "model") if x.ndim == 2 else P("model")
+            elif any(n in names for n in ("res", "skip")):
+                # row-parallel: weight (H,B) splits its input dim; the
+                # bias is added after the psum, replicated
+                spec = P("model", None) if x.ndim == 2 else P()
+        elif "head" in names:  # head_prelu is its own key, stays replicated
+            spec = P(None, "model") if x.ndim == 2 else P("model")
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
