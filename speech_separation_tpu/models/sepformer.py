@@ -158,16 +158,29 @@ def _attention(layer, x, key_mask, cfg: Config):
     y = _cln(x, layer["ln1"]) + _sinusoid_pe(T, H).astype(ad)
     qkv = _dot(y, layer["qkv"], cfg.mxu_dtype, ad).reshape(R, T, 3, nh, dh)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # (R, T, nh, dh)
-    # attention matmuls run at the MXU dtype's rate with f32 accumulation;
-    # the softmax itself stays f32 (bf16 logits would quantize the
-    # distribution and the -1e9 key masking)
-    logits = jnp.einsum("rqhd,rkhd->rhqk", q, k,
-                        preferred_element_type=jnp.float32) / np.sqrt(dh)
-    logits = logits + (1.0 - key_mask)[:, None, None, :] * (-1e9)
-    w = jax.nn.softmax(logits, axis=-1).astype(ad)
-    o = jnp.einsum("rhqk,rkhd->rqhd", w, v,
-                   preferred_element_type=jnp.float32
-                   ).reshape(R, T, H).astype(ad)
+    if cfg.compute_dtype == "bfloat16":
+        # perf path: fused Pallas attention — QK^T, masking, softmax, AV
+        # all VMEM-resident per (row, head); the (R, nh, T, T) logits
+        # never touch HBM (ops/attention_pallas.py; the XLA einsum path
+        # below round-trips ~1.2 GB/layer through HBM at bench shapes)
+        from ..ops.attention_pallas import chunk_attention
+        fold = lambda t: t.transpose(0, 2, 1, 3).reshape(R * nh, T, dh)
+        km = jnp.broadcast_to(key_mask[:, None, :], (R, nh, T)
+                              ).reshape(R * nh, T)
+        o = chunk_attention(fold(q), fold(k), fold(v), km)
+        o = o.reshape(R, nh, T, dh).transpose(0, 2, 1, 3).reshape(R, T, H)
+        o = o.astype(ad)
+    else:
+        # attention matmuls run at the MXU dtype's rate with f32
+        # accumulation; the softmax itself stays f32 (bf16 logits would
+        # quantize the distribution and the -1e9 key masking)
+        logits = jnp.einsum("rqhd,rkhd->rhqk", q, k,
+                            preferred_element_type=jnp.float32) / np.sqrt(dh)
+        logits = logits + (1.0 - key_mask)[:, None, None, :] * (-1e9)
+        w = jax.nn.softmax(logits, axis=-1).astype(ad)
+        o = jnp.einsum("rhqk,rkhd->rqhd", w, v,
+                       preferred_element_type=jnp.float32
+                       ).reshape(R, T, H).astype(ad)
     x = x + _dot(o, layer["out"], cfg.mxu_dtype, ad)
     y = _dot(_cln(x, layer["ln2"]), layer["ff1"], cfg.mxu_dtype, ad)
     return x + _dot(jax.nn.relu(y), layer["ff2"], cfg.mxu_dtype, ad)
