@@ -14,7 +14,7 @@ conventions survive:
 
 Subcommands: prepare, validate, split, extract, pack-features, train,
 eval-masks, reconstruct, stage-data, separate, serve, score, oracle, info,
-bench, doctor, import-model, export-model, run-train, run-eval.
+bench, doctor, warmup, import-model, export-model, run-train, run-eval.
 """
 
 from __future__ import annotations
