@@ -76,6 +76,14 @@ class Config:
     mask_act: str = "relu"   # "relu" | "sigmoid"
     compute_dtype: str = "float32"  # "bfloat16" = the MXU perf path
     remat: bool = False
+    # Opt-in fused Pallas attention (ops/attention_pallas.py): exact, and
+    # it eliminates the logits' HBM round-trips, but at the default
+    # geometry (dh=16, K=100) it MEASURED SLOWER than the XLA einsum path
+    # on the chip (161 vs 128 ms full step) — Mosaic serializes the
+    # per-row (100,16)@(16,100) matmuls where XLA's batched-matmul
+    # pipelining keeps the MXU fed. Kept as a knob for geometries with
+    # larger dh/K where the HBM saving wins (docs/performance.md).
+    fused_attention: bool = False
 
     @classmethod
     def from_kwargs(cls, **kwargs):
@@ -158,11 +166,11 @@ def _attention(layer, x, key_mask, cfg: Config):
     y = _cln(x, layer["ln1"]) + _sinusoid_pe(T, H).astype(ad)
     qkv = _dot(y, layer["qkv"], cfg.mxu_dtype, ad).reshape(R, T, 3, nh, dh)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # (R, T, nh, dh)
-    if cfg.compute_dtype == "bfloat16":
-        # perf path: fused Pallas attention — QK^T, masking, softmax, AV
-        # all VMEM-resident per (row, head); the (R, nh, T, T) logits
-        # never touch HBM (ops/attention_pallas.py; the XLA einsum path
-        # below round-trips ~1.2 GB/layer through HBM at bench shapes)
+    if cfg.fused_attention:
+        # fused Pallas attention — QK^T, masking, softmax, AV all
+        # VMEM-resident per (row, head); the (R, nh, T, T) logits never
+        # touch HBM (ops/attention_pallas.py). Opt-in: measured slower
+        # than the einsum path at the default dh=16 geometry (see Config)
         from ..ops.attention_pallas import chunk_attention
         fold = lambda t: t.transpose(0, 2, 1, 3).reshape(R * nh, T, dh)
         km = jnp.broadcast_to(key_mask[:, None, :], (R, nh, T)

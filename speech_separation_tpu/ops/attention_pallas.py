@@ -47,13 +47,33 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _pick_rb(n_rows: int, T: int) -> int:
-    """Rows per grid step: bounded by the f32 (RB, T, T) score tensor's
-    VMEM footprint (keep scores+exp ~<= 8 MB); divides n_rows by
-    construction of the caller's padding."""
-    budget = 8 * 1024 * 1024
-    per_row = T * max(T, 128) * 4 * 2  # scores + exp/weights, lane-padded
-    rb = max(8, min(128, budget // per_row))
+def _pad8(n: int) -> int:
+    return 8 * ((n + 7) // 8)
+
+
+def _pad128(n: int) -> int:
+    return 128 * ((n + 127) // 128)
+
+
+def _row_bytes(T: int, dh: int) -> int:
+    """Worst-case (backward) VMEM bytes per row at Mosaic's (8, 128) tile
+    padding — dh < 128 pads the lane dim all the way to 128, which is the
+    dominant cost at SepFormer's dh=16. Counts double-buffered in/out
+    blocks (q, k, v, mask, do in; dq, dk, dv out) plus the in-kernel
+    (T, T) score/weight intermediates."""
+    vec = _pad8(T) * _pad128(dh)          # one (T, dh) tensor's padded elems
+    sq = _pad8(T) * _pad128(T)            # one (T, T) tensor's padded elems
+    blocks = 2 * (5 * vec * 2 + _pad128(T) * 4 + 3 * vec * 2)
+    inter = 4 * sq * 4 + 2 * sq * 2       # s, e, w32, dw/ds f32 + bf16 pair
+    return blocks + inter
+
+
+def _pick_rb(n_rows: int, T: int, dh: int) -> int:
+    """Rows per grid step under a ~40 MB working budget (the raised VMEM
+    limit below leaves headroom over the 16 MB default scoped limit; the
+    v5e accepts ~112 MB, probed in ops/lstm_pallas.py)."""
+    budget = 80 * 1024 * 1024
+    rb = max(8, min(256, budget // _row_bytes(T, dh)))
     # round down to a power of two for clean padding arithmetic
     rb = 1 << (rb.bit_length() - 1)
     return max(8, rb)
@@ -136,7 +156,7 @@ def _call(kernel, n_out, q, k, v, extras, scale, interpret):
     N, T, dh = q.shape
     if scale is None:
         scale = 1.0 / np.sqrt(dh)
-    rb = _pick_rb(N, T)
+    rb = _pick_rb(N, T, dh)
     args = [q, k, v, *extras]
     padded = [_pad_rows(a, rb)[0] for a in args]
     n_pad = padded[0].shape[0]
@@ -148,12 +168,15 @@ def _call(kernel, n_out, q, k, v, extras, scale, interpret):
 
     out_shapes = [jax.ShapeDtypeStruct((n_pad, T, dh), q.dtype)
                   for _ in range(n_out)]
+    limit = min(rb * _row_bytes(T, dh) + 16 * 1024 * 1024,
+                100 * 1024 * 1024)
     outs = pl.pallas_call(
         functools.partial(kernel, scale=float(scale)),
         grid=grid,
         in_specs=[spec(a) for a in padded],
         out_specs=[spec(o) for o in out_shapes],
         out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=limit),
         interpret=interpret,
     )(*padded)
     outs = outs if isinstance(outs, (list, tuple)) else [outs]
