@@ -261,10 +261,10 @@ def sheet_sepformer(B=32, n_sec=4.0, N=64, Lw=16, stride=8, C=64, heads=4,
 SHEETS = {"rsh": sheet_rsh, "tcn": sheet_tcn, "convtasnet": sheet_convtasnet,
           "dprnn": sheet_dprnn, "sepformer": sheet_sepformer}
 
-# measured step times from the round-4/5 bench phases (bf16+Pallas,
-# bench.py shapes); refresh from BENCH_r05.json detail when it lands
-MEASURED_MS = {"rsh": 78.24, "tcn": 69.15, "convtasnet": 97.1,
-               "dprnn": 164.9, "sepformer": 128.4}
+# measured step times from the round-5 bench run (bf16+Pallas, bench.py
+# shapes, healthy-window steady state); refresh from BENCH_r05.json
+MEASURED_MS = {"rsh": 78.66, "tcn": 70.37, "convtasnet": 97.19,
+               "dprnn": 165.17, "sepformer": 127.84}
 
 
 def main():
