@@ -49,7 +49,7 @@ if not os.path.isfile("data/fs_tt/feats_test.scp"):
     extract_features("data/fs_tt", "test", "feats/fs_tt_test", STFTConfig())
 
 EPOCHS = int(os.environ.get("TUNED_EPOCHS", 100))
-BATCH = int(os.environ.get("TUNED_BATCH", 32))
+BATCH = int(os.environ.get("TUNED_BATCH", 64))
 CLIP = float(os.environ.get("TUNED_CLIP", 5.0))
 DECAY = float(os.environ.get("TUNED_DECAY", 0.99))
 

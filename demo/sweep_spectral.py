@@ -65,10 +65,12 @@ VARIANTS = {
     "RSH_clip5_b64": ("RSH", "data/fs_tr", dict(batch_size=64, grad_clip=5.0)),
     "RSH_clip5_decay_b64": ("RSH", "data/fs_tr",
                             dict(batch_size=64, grad_clip=5.0, lr_decay=0.99)),
-    # H3: 4x data, matched UPDATE count with the control (4x data at the
-    # same batch = 4x updates/epoch, so run it with the same wall of
-    # updates: epochs/4 handled below via EPOCH_SCALE)
-    "RSH_data4x_b64": ("RSH", "data/fsbig_tr", dict(batch_size=64)),
+    # H3: 4x data at the same batch = 4x updates/epoch. cv_every=1 so the
+    # decisive comparison exists at MATCHED update count (data4x epoch 4
+    # ~= 256 updates vs the control's 240 at epoch 15) and the curve shows
+    # whether more data keeps CV improving where the controls regress.
+    "RSH_data4x_b64": ("RSH", "data/fsbig_tr",
+                       dict(batch_size=64, num_epochs=15, cv_every=1)),
     # uPIT: is the untuned 30-epoch 23.45 dB schedule-limited too?
     "uPIT_base_b64": ("uPIT", "data/fs_tr", dict(batch_size=64)),
     "uPIT_clip5_decay_b64": ("uPIT", "data/fs_tr",
@@ -78,20 +80,24 @@ VARIANTS = {
 
 EPOCHS = int(os.environ.get("SWEEP_EPOCHS", 15))
 only = os.environ.get("SWEEP_ARCHS")
+tags = os.environ.get("SWEEP_TAGS")  # exact-tag subset, comma-separated
 rows = {}
 for tag, (arch, data_dir, loop_kw) in VARIANTS.items():
     if only and not any(tag.startswith(a) for a in only.split(",")):
         continue
-    # matched updates for the 4x corpus: same number of gradient steps
-    epochs = max(EPOCHS // 4, 4) if "data4x" in tag else EPOCHS
+    if tags and tag not in tags.split(","):
+        continue
+    cfg_kw = dict(num_epochs=EPOCHS, cv_every=5)
+    cfg_kw.update(loop_kw)
+    epochs = cfg_kw["num_epochs"]
     exp = f"exp/sweep_{tag}"
     t0 = time.time()
     out = train(data_dir, exp,
-                TrainLoopConfig(arch=arch, num_epochs=epochs, seed=0,
-                                cv_every=5, checkpoint_every=100,
+                TrainLoopConfig(arch=arch, seed=0,
+                                checkpoint_every=100,
                                 time_pad_multiple=64,
                                 on_device_features=True, stft=STFTConfig(),
-                                make_plots=False, **loop_kw),
+                                make_plots=False, **cfg_kw),
                 cv_data_dir="data/fs_cv", model_kwargs=MK)
     wall = time.time() - t0
     losses = [float(l.split()[1]) for l in
