@@ -300,13 +300,22 @@ PHASES = {
 
 # worst-case wall seconds per phase: COLD = empty compile cache on the
 # tunnel backend (measured compiles: uPIT 287 s, SepFormer 504 s, DPRNN
-# 225 s — BENCH_r04 / VERDICT r04), WARM = persistent-cache hit (compile
+# 225 s — BENCH_r04 / VERDICT r04; round-5 cold walls: tcn 670 s,
+# serving 664 s, convtasnet 233 s), WARM = persistent-cache hit (compile
 # deserializes in seconds). The budget gate picks per observed compile_s.
 WORST_COLD = {"upit_bf16": 420, "convtasnet": 500, "sepformer": 720,
-              "dprnn": 480, "rsh": 820, "dsp": 150, "serving": 500,
-              "tcn": 260, "upit_f32": 260, "upit_b128": 130}
+              "dprnn": 480, "rsh": 820, "dsp": 150, "serving": 780,
+              "tcn": 780, "upit_f32": 400, "upit_b128": 130}
 WORST_WARM = {name: 120 for name in WORST_COLD}
 WORST_WARM.update({"rsh": 180, "serving": 180})
+
+
+def retry_candidates(failures: dict) -> list:
+    """Phases worth a second child process: transient failures (crash,
+    timeout/wedge), NOT budget skips — the gate already decided those
+    don't fit, and retrying them would re-spend budget it protected."""
+    return [n for n, why in failures.items()
+            if not why.startswith("skipped")]
 
 
 def run_phase_child(name: str) -> None:
@@ -487,37 +496,48 @@ def main():
     failures: dict = {}
     phase_stats: dict = {}
     cache_warm = False  # flips once a phase observes a near-zero compile
-    for name in PHASES:
-        worst = (WORST_WARM if cache_warm else WORST_COLD)[name]
-        remaining = budget - (time.time() - t_start)
-        if remaining < worst:
-            failures[name] = (f"skipped: {remaining:.0f}s left < {worst:.0f}s "
-                              f"worst-case ({'warm' if cache_warm else 'cold'}"
-                              " cache)")
-            print(f"# bench: phase {name} SKIPPED ({failures[name]})",
-                  file=sys.stderr, flush=True)
-            print(merged_line(results, failures, baseline_utts, probe_latency,
-                              phase_stats), flush=True)
-            continue
-        print(f"# bench: phase {name}", file=sys.stderr, flush=True)
+
+    def attempt(name: str, tag: str = "") -> None:
+        """Run one phase in a child process and record the outcome. On
+        success any prior failure entry for the phase is cleared (retry
+        pass); on failure the newest reason wins."""
+        nonlocal cache_warm
+        print(f"# bench: phase {name}{tag}", file=sys.stderr, flush=True)
         t0 = time.time()
+        remaining = budget - (t0 - t_start)
+        # once the cache is observed warm, no legitimate phase needs more
+        # than ~3x the slowest warm wall (serving, 180 s) — capping the
+        # child deadline means a wedged dispatch burns 300 s of budget,
+        # not the full phase_timeout (900 s default would be over half
+        # the driver's whole budget)
+        deadline = min(phase_timeout, 300) if cache_warm else phase_timeout
+        deadline = min(deadline, max(remaining - 10, 60))
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--phase", name],
-                capture_output=True, text=True,
-                timeout=min(phase_timeout, max(remaining - 10, 60)))
+                capture_output=True, text=True, timeout=deadline)
             line = next((l for l in r.stdout.splitlines()
                          if l.startswith("BENCH_PHASE_RESULT ")), None)
             if r.returncode == 0 and line:
                 results[name] = json.loads(line.split(" ", 1)[1])
+                failures.pop(name, None)
             else:
                 tail = (r.stderr or r.stdout or "").strip().splitlines()[-3:]
                 failures[name] = f"rc={r.returncode}: " + " | ".join(tail)
         except subprocess.TimeoutExpired:
-            failures[name] = f"timed out after {phase_timeout:.0f}s"
+            failures[name] = f"timed out after {deadline:.0f}s"
+            # a killed-mid-dispatch child poisons the NEXT client
+            # connection (observed round 5: every phase launched right
+            # after a wedge-kill wedged too, while later fresh clients
+            # were fine). Quiesce briefly and wait for a healthy probe
+            # before spending more budget.
+            time.sleep(30)
+            wait_for_healthy_backend(
+                max_wait_s=min(240.0, max(budget - (time.time() - t_start),
+                                          0.0)))
         dt = time.time() - t0
         status = "ok" if name in results else f"FAILED ({failures.get(name)})"
-        print(f"# bench: phase {name} {status} [{dt:.0f}s]",
+        print(f"# bench: phase {name}{tag} {status} [{dt:.0f}s]",
               file=sys.stderr, flush=True)
         if name in results:
             stat = {"wall_s": round(dt, 1)}
@@ -530,6 +550,32 @@ def main():
         # driver kill preserves everything measured so far as the last line
         print(merged_line(results, failures, baseline_utts, probe_latency,
                           phase_stats), flush=True)
+
+    for name in PHASES:
+        worst = (WORST_WARM if cache_warm else WORST_COLD)[name]
+        remaining = budget - (time.time() - t_start)
+        if remaining < worst:
+            failures[name] = (f"skipped: {remaining:.0f}s left < {worst:.0f}s "
+                              f"worst-case ({'warm' if cache_warm else 'cold'}"
+                              " cache)")
+            print(f"# bench: phase {name} SKIPPED ({failures[name]})",
+                  file=sys.stderr, flush=True)
+            print(merged_line(results, failures, baseline_utts, probe_latency,
+                              phase_stats), flush=True)
+            continue
+        attempt(name)
+
+    # ONE budget-gated retry pass: the tunnel's failure modes are
+    # per-CHILD (a wedged dispatch, a FailedPrecondition blip — round 5
+    # observed both), so a fresh child on a later, healthy window usually
+    # succeeds. 'skipped' entries are not retried — the gate already
+    # decided they don't fit — and a retry only runs if its worst-case
+    # still fits the remaining budget.
+    for name in retry_candidates(failures):
+        worst = (WORST_WARM if cache_warm else WORST_COLD)[name]
+        if budget - (time.time() - t_start) < worst:
+            continue
+        attempt(name, tag=" (retry)")
     raise SystemExit(0 if "upit_bf16" in results else 1)
 
 

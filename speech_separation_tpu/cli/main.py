@@ -116,7 +116,7 @@ def cmd_pack_features(args):
 
 def cmd_train(args):
     from ..dsp import STFTConfig
-    from ..train.loop import TrainLoopConfig, train_with_restarts
+    from ..train.loop import TrainLoopConfig
     stft = STFTConfig(n_fft=getattr(args, "fft_dim", 512),
                       hop=getattr(args, "step_size", 128),
                       sample_rate=getattr(args, "sample_rate", 8000))
@@ -134,10 +134,28 @@ def cmd_train(args):
         profile_dir=args.profile_dir,
         train_copy_location=args.train_copy_location,
         on_device_features=args.on_device_features)
-    train_with_restarts(args.data_dir, args.exp_dir, loop_cfg,
-                        max_restarts=args.max_restarts,
-                        cv_data_dir=args.cv_data_dir,
-                        model_kwargs=read_model_config(args.model_config))
+    _run_training(args, args.data_dir, args.exp_dir, loop_cfg,
+                  args.cv_data_dir)
+
+
+def _run_training(args, data_dir, exp_dir, loop_cfg, cv_data_dir):
+    """Route to the crash-recovering driver, or — with --hang-watchdog-sec
+    — the supervised driver that also recovers wedged device dispatches
+    (train/watchdog.py)."""
+    from ..train.loop import train_with_restarts
+    mk = read_model_config(args.model_config)
+    watchdog = getattr(args, "hang_watchdog_sec", 0.0)
+    if watchdog > 0:
+        from ..train.watchdog import train_supervised
+        train_supervised(data_dir, exp_dir, loop_cfg,
+                         hang_timeout_s=watchdog,
+                         first_timeout_s=args.hang_first_timeout_sec,
+                         max_restarts=args.max_restarts,
+                         cv_data_dir=cv_data_dir, model_kwargs=mk)
+    else:
+        train_with_restarts(data_dir, exp_dir, loop_cfg,
+                            max_restarts=args.max_restarts,
+                            cv_data_dir=cv_data_dir, model_kwargs=mk)
 
 
 def cmd_eval_masks(args):
@@ -599,7 +617,7 @@ def cmd_run_train(args):
         if getattr(arch_mod, "__file__", None):
             shutil.copy(arch_mod.__file__, os.path.join(exp_dir, "arch.py"))
 
-        from ..train.loop import TrainLoopConfig, train_with_restarts
+        from ..train.loop import TrainLoopConfig
         from ..dsp import STFTConfig
         loop_cfg = TrainLoopConfig(
             arch=args.arch, batch_size=args.batch_size,
@@ -613,11 +631,8 @@ def cmd_run_train(args):
             stft=STFTConfig(n_fft=args.fft_dim, hop=args.step_size,
                             sample_rate=args.sample_rate))
         cv_dir = os.path.join(args.data_root, args.cv_set) if args.cv_set else ""
-        train_with_restarts(os.path.join(args.data_root, args.train_set),
-                            exp_dir, loop_cfg,
-                            max_restarts=getattr(args, "max_restarts", 2),
-                            cv_data_dir=cv_dir,
-                            model_kwargs=read_model_config(args.model_config))
+        _run_training(args, os.path.join(args.data_root, args.train_set),
+                      exp_dir, loop_cfg, cv_dir)
 
 
 def _ensure_utt2num_spk(data_dir: str) -> None:
@@ -850,6 +865,17 @@ def _add_train(p):
     p.add_argument("--max-restarts", type=int, default=2,
                    help="auto-resume from the newest checkpoint after a "
                         "transient crash, up to N times")
+    p.add_argument("--hang-watchdog-sec", type=float, default=0.0,
+                   help="supervise training in a child process and restart "
+                        "it from the newest checkpoint if no optimizer "
+                        "step/CV batch/checkpoint completes for N seconds "
+                        "— recovers wedged device dispatches (a hang, "
+                        "which --max-restarts alone cannot catch: it only "
+                        "sees crashes). 0 = off")
+    p.add_argument("--hang-first-timeout-sec", type=float, default=2400.0,
+                   help="watchdog allowance before the FIRST heartbeat of "
+                        "an attempt (cold XLA compiles legitimately block "
+                        "for minutes on the tunnel backend)")
     p.add_argument("--on-device-features", action="store_true",
                    help="waveform-direct training: read wav.scp, compute "
                         "STFT features inside the train step (no feature "

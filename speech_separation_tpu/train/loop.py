@@ -88,6 +88,11 @@ class TrainLoopConfig:
     # Numerically identical to precomputed features (same STFT program).
     on_device_features: bool = False
     stft: STFTConfig = STFTConfig()
+    # hang-watchdog liveness: when set, the loop touches this file after
+    # every optimizer step, CV batch, and checkpoint write so a supervisor
+    # (train/watchdog.py) can distinguish a wedged device dispatch from a
+    # long-but-legitimate compile. Set by train_supervised, not by hand.
+    heartbeat_file: str = ""
 
 
 def make_optimizer(cfg: TrainLoopConfig, steps_per_epoch: int | None = None):
@@ -488,6 +493,17 @@ def _train_locked(data_dir: str, exp_dir: str, loop_cfg: TrainLoopConfig,
     lossF = open(loss_file, "a")
     cv_lossF = open(cv_loss_file, "a") if cv_dataset else None
 
+    hb_path = loop_cfg.heartbeat_file
+    if hb_path:
+        open(hb_path, "a").close()
+
+    def _beat():
+        if hb_path:
+            try:
+                os.utime(hb_path, None)
+            except OSError:
+                pass
+
     profiling = bool(loop_cfg.profile_dir)
     utts_seen = 0
     t_start = time.time()
@@ -543,6 +559,7 @@ def _train_locked(data_dir: str, exp_dir: str, loop_cfg: TrainLoopConfig,
             epoch_loss += loss * norm
             epoch_norm += norm
             epoch_utts += int(n_real)
+            _beat()
         utts_seen += epoch_utts
         epoch_wall = time.time() - t_epoch
         log(f"epoch {epoch + 1:03d} wall: {epoch_wall:.1f}s "
@@ -563,6 +580,7 @@ def _train_locked(data_dir: str, exp_dir: str, loop_cfg: TrainLoopConfig,
                     loss, norm = eval_step(params, state, sb, sub_key)
                     cv_loss_sum += float(loss) * float(norm)
                     cv_norm_sum += float(norm)
+                    _beat()
                 if first and loop_cfg.make_plots:
                     _plot_cv_batch(arch, model_cfg, params, state,
                                    sub_batches[0], step_key,
@@ -586,6 +604,7 @@ def _train_locked(data_dir: str, exp_dir: str, loop_cfg: TrainLoopConfig,
                             params=params, state=state, opt_state=opt_state,
                             rng=jax.random.key_data(key), epoch=epoch + 1,
                             meta=ckpt_meta)
+            _beat()
             if loop_cfg.make_plots and epoch_losses:
                 from ..utils.plot import plot_loss
                 first_ep = epoch_losses[0][0]

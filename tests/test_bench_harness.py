@@ -62,3 +62,13 @@ def test_merged_line_headline_missing_is_flagged():
     assert d["value"] == 0
     assert "error" in d["detail"]
     assert d["vs_baseline"] is None
+
+
+def test_retry_candidates_exclude_budget_skips():
+    failures = {
+        "dprnn": "rc=1: jax.errors.JaxRuntimeError: FAILED_PRECONDITION",
+        "upit_f32": "timed out after 900s",
+        "tcn": "skipped: 90s left < 780s worst-case (cold cache)",
+    }
+    assert bench.retry_candidates(failures) == ["dprnn", "upit_f32"]
+    assert bench.retry_candidates({}) == []
